@@ -1,0 +1,78 @@
+"""Material table — TPU-native analog of ``VirtualMaterial`` + MaterialSet.
+
+The reference keeps a CPU vector of ``VirtualMaterial`` records uploaded to
+an SSBO (``Include/Prismarine/Structs.hpp:236-262``,
+``MaterialSet.inl:13-23``) with bindless texture handles.  Here materials
+are a dense SoA table indexed by ``mat_id`` gathers, and "bindless textures"
+become integer indices into a stacked texture array (models/textures.py).
+
+Field mapping (reference ``VirtualMaterial`` -> here):
+  diffuse.rgb / .a     -> diffuse[.., :3] / alpha (transparency RR)
+  specular.y (rough)   -> roughness   (surface.comp:189 packs spc.yz)
+  specular.z (metal)   -> metallic
+  emissive.rgb         -> emissive
+  ior                  -> ior
+  diffusePart etc.     -> tex_diffuse / tex_specular / tex_emissive / tex_bump
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MaterialTable:
+    diffuse: jax.Array     # f32[M,4] rgb + alpha
+    specular: jax.Array    # f32[M,4] x unused, y=roughness, z=metallic
+    emissive: jax.Array    # f32[M,4]
+    ior: jax.Array         # f32[M]
+    tex_diffuse: jax.Array   # i32[M], -1 = none
+    tex_specular: jax.Array  # i32[M]
+    tex_emissive: jax.Array  # i32[M]
+    tex_bump: jax.Array      # i32[M]
+
+    @property
+    def count(self) -> int:
+        return self.diffuse.shape[0]
+
+    def lookup(self, mat_id: jax.Array) -> "MaterialTable":
+        """Gather per-ray material records (mat_id: i32[R])."""
+        return jax.tree.map(lambda a: a[mat_id], self)
+
+    @staticmethod
+    def build(mats: Sequence[dict]) -> "MaterialTable":
+        """From a list of dicts with keys diffuse/alpha/roughness/metallic/
+        emissive/ior/tex_*; missing keys get reference defaults
+        (``Structs.hpp:236-247``)."""
+        m = len(mats)
+        diffuse = np.zeros((m, 4), np.float32)
+        specular = np.zeros((m, 4), np.float32)
+        emissive = np.zeros((m, 4), np.float32)
+        ior = np.full((m,), 1.0, np.float32)
+        texd = np.full((m,), -1, np.int32)
+        texs = np.full((m,), -1, np.int32)
+        texe = np.full((m,), -1, np.int32)
+        texb = np.full((m,), -1, np.int32)
+        for i, d in enumerate(mats):
+            diffuse[i, :3] = d.get("diffuse", (0.0, 0.0, 0.0))
+            diffuse[i, 3] = d.get("alpha", 1.0)
+            specular[i, 1] = d.get("roughness", 0.0001)
+            specular[i, 2] = d.get("metallic", 0.0)
+            emissive[i, :3] = d.get("emissive", (0.0, 0.0, 0.0))
+            ior[i] = d.get("ior", 1.0)
+            texd[i] = d.get("tex_diffuse", -1)
+            texs[i] = d.get("tex_specular", -1)
+            texe[i] = d.get("tex_emissive", -1)
+            texb[i] = d.get("tex_bump", -1)
+        return MaterialTable(
+            diffuse=jnp.asarray(diffuse), specular=jnp.asarray(specular),
+            emissive=jnp.asarray(emissive), ior=jnp.asarray(ior),
+            tex_diffuse=jnp.asarray(texd), tex_specular=jnp.asarray(texs),
+            tex_emissive=jnp.asarray(texe), tex_bump=jnp.asarray(texb),
+        )

@@ -1,0 +1,89 @@
+"""Scene container + built-in test scenes.
+
+A Scene aggregates everything the reference's Pipeline binds before a frame
+(geometry mosaics, material SSBO, light uniforms, skybox) into one pytree
+that jit-compiles cleanly and shards over a device mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from prismarine_core_tpu.models.geometry import (
+    TriangleSoup, make_box, make_quad, merge_meshes)
+from prismarine_core_tpu.models.lights import SphereLights
+from prismarine_core_tpu.models.materials import MaterialTable
+from prismarine_core_tpu.models.textures import Environment, TextureStack
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Scene:
+    triangles: TriangleSoup
+    materials: MaterialTable
+    lights: SphereLights
+    environment: Environment
+    textures: TextureStack
+
+    @staticmethod
+    def assemble(triangles, materials, lights=None, environment=None,
+                 textures=None) -> "Scene":
+        return Scene(
+            triangles=triangles,
+            materials=materials,
+            lights=lights if lights is not None else SphereLights.suns(),
+            environment=(environment if environment is not None
+                         else Environment.constant((0.5, 0.6, 0.7))),
+            textures=(textures if textures is not None
+                      else TextureStack.empty()),
+        )
+
+
+def make_cornell_scene(capacity: int | None = None) -> Scene:
+    """Cornell-box-style test scene: an inward-facing room, one tall box,
+    a small sphere light in the ceiling region, gray walls with one red and
+    one green side (BASELINE.json config 1).
+    """
+    room = make_box((-1, -1, -1), (1, 1, 1), mat_id=0, inward=True,
+                    skip_faces=("front",))
+    # Re-tag wall materials: left wall (x=-1) red=1, right (x=+1) green=2.
+    rv, rf, rm = room
+    centers = rv[rf].mean(axis=1)
+    rm = np.where(centers[:, 0] < -0.99, 1, rm)
+    rm = np.where(centers[:, 0] > 0.99, 2, rm)
+    block = make_box((-0.4, -1.0, -0.5), (0.1, 0.2, 0.0), mat_id=3)
+    verts, faces, mids = merge_meshes([(rv, rf, rm.astype(np.int32)), block])
+
+    tris = TriangleSoup.from_arrays(verts, faces, mat_ids=mids,
+                                    capacity=capacity)
+    mats = MaterialTable.build([
+        {"diffuse": (0.75, 0.75, 0.75)},
+        {"diffuse": (0.75, 0.15, 0.15)},
+        {"diffuse": (0.15, 0.75, 0.15)},
+        {"diffuse": (0.7, 0.7, 0.5), "roughness": 0.2, "metallic": 0.4},
+    ])
+    lights = SphereLights.single(
+        center=(0.0, 0.8, 0.0), radius=0.15, color=(40.0, 40.0, 38.0))
+    env = Environment.constant((0.0, 0.0, 0.0))
+    return Scene.assemble(tris, mats, lights, env)
+
+
+def make_sun_plane_scene(capacity: int | None = None) -> Scene:
+    """Open plane + cube under the reference's default far sun — exercises
+    env-map misses and long shadow rays."""
+    plane = make_quad((-10, 0, -10), (-10, 0, 10), (10, 0, 10),
+                      (10, 0, -10), mat_id=0)
+    cube = make_box((-0.5, 0.0, -0.5), (0.5, 1.0, 0.5), mat_id=1)
+    verts, faces, mids = merge_meshes([plane, cube])
+    tris = TriangleSoup.from_arrays(verts, faces, mat_ids=mids,
+                                    capacity=capacity)
+    mats = MaterialTable.build([
+        {"diffuse": (0.6, 0.6, 0.6)},
+        {"diffuse": (0.8, 0.5, 0.3), "roughness": 0.3, "metallic": 0.2},
+    ])
+    return Scene.assemble(
+        tris, mats, SphereLights.suns(),
+        Environment.constant((0.4, 0.55, 0.75)))

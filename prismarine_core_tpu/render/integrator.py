@@ -1,0 +1,259 @@
+"""The path-tracing integrator: a `lax.scan` over bounces with masked lanes.
+
+This one module replaces the reference's whole wavefront kernel pipeline —
+camera.comp, directTraverse.comp, surface.comp, rayshading.comp and the
+ray-pool/counter machinery (``rayslib.glsl``, ``Pipeline.inl:325-359``).
+On TPU there are no atomics and no dynamic queues: every ray occupies a
+fixed lane for the full bounce budget; dead lanes are masked.  Radiance is
+accumulated per-lane and reduced to pixels by a reshape-mean (the analog of
+sampler.comp's color-chain walk, without linked lists).
+
+Light transport model (behavioral parity with ``rayshading.comp:160-277``
+and ``shadinglib.glsl``; divergences documented inline):
+
+  * miss         -> radiance += beta * env(dir)            [env on miss]
+  * surface      -> radiance += beta * emissive            [emissive add]
+  * with prob (1 - alpha): pass through (alpha transmission coin,
+    rayshading.comp:180)
+  * else with prob spca = |specular color|: reflect with glossy
+    perturbation, beta *= sc/spca (rayshading.comp:203,267)
+  * else: cosine diffuse bounce, beta *= albedo (shadinglib diffuse())
+  * NEE: one shadow ray toward sphere light 0 from the diffuse branch,
+    weight = samplingWeight heuristic (shadinglib.glsl:50-52); sphere
+    lights are visible *only* through these shadow rays (the reference
+    gates its light test to type-2 rays, rayshading.comp:121-138).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from prismarine_core_tpu.models.camera import Camera, generate_rays
+from prismarine_core_tpu.models.scene import Scene
+from prismarine_core_tpu.models.textures import sample_bilinear
+from prismarine_core_tpu.ops import sampling as smp
+from prismarine_core_tpu.ops.intersect import (
+    Hit, intersect_closest_brute, intersect_sphere, occluded_brute)
+from prismarine_core_tpu.utils import math as pm
+from prismarine_core_tpu.utils.config import GAP, INF_DIST, RenderConfig
+
+
+def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> Hit:
+    """Dispatch to the configured intersector."""
+    if cfg.intersector == "brute":
+        return intersect_closest_brute(scene.triangles, o, d,
+                                       block=cfg.tri_block)
+    elif cfg.intersector == "bvh":
+        from prismarine_core_tpu.accel.traverse import intersect_closest_bvh
+        return intersect_closest_bvh(scene.bvh, scene.triangles, o, d)
+    raise ValueError(f"unknown intersector {cfg.intersector!r}")
+
+
+def occluded(scene: Scene, o, d, t_max, cfg: RenderConfig):
+    if cfg.intersector == "brute":
+        return occluded_brute(scene.triangles, o, d, t_max,
+                              block=cfg.tri_block)
+    elif cfg.intersector == "bvh":
+        from prismarine_core_tpu.accel.traverse import occluded_bvh
+        return occluded_bvh(scene.bvh, scene.triangles, o, d, t_max)
+    raise ValueError(f"unknown intersector {cfg.intersector!r}")
+
+
+def _interpolate_surface(scene: Scene, hit: Hit, d):
+    """Gather + interpolate triangle attributes at the hit point.
+
+    The analog of ``interpolateMeshData`` (``directTraverse.comp:116-180``)
+    and the material resolve of ``surface.comp:102-195``.
+    Returns dict of per-ray surface fields (garbage where hit.missed —
+    callers mask).
+    """
+    tri = jnp.maximum(hit.tri, 0)
+    soup = scene.triangles
+    w = (1.0 - hit.u - hit.v)[:, None]
+    uu = hit.u[:, None]
+    vv = hit.v[:, None]
+
+    ns = pm.normalize(w * soup.n0[tri] + uu * soup.n1[tri]
+                      + vv * soup.n2[tri])
+    ng = pm.normalize(jnp.cross(soup.v1[tri] - soup.v0[tri],
+                                soup.v2[tri] - soup.v0[tri]))
+    # Use the geometric normal where shading normals are degenerate.
+    ns = jnp.where(jnp.isfinite(ns).all(-1, keepdims=True), ns, ng)
+    uv = w * soup.t0[tri] + uu * soup.t1[tri] + vv * soup.t2[tri]
+
+    mat = scene.materials.lookup(soup.mat_id[tri])
+    albedo4 = mat.diffuse
+    has_tex = mat.tex_diffuse >= 0
+    tex = sample_bilinear(scene.textures, mat.tex_diffuse, uv)
+    albedo4 = jnp.where(has_tex[:, None], albedo4 * tex, albedo4)
+
+    emissive = mat.emissive[:, :3]
+    has_etex = mat.tex_emissive >= 0
+    etex = sample_bilinear(scene.textures, mat.tex_emissive, uv)
+    emissive = jnp.where(has_etex[:, None], emissive * etex[:, :3], emissive)
+
+    spec = mat.specular
+    has_stex = mat.tex_specular >= 0
+    stex = sample_bilinear(scene.textures, mat.tex_specular, uv)
+    spec = jnp.where(has_stex[:, None], spec * stex, spec)
+
+    return dict(
+        shading_normal=ns,
+        geom_normal=ng,
+        uv=uv,
+        albedo=albedo4[:, :3],
+        alpha=albedo4[:, 3],
+        roughness=spec[:, 1],
+        metallic=spec[:, 2],
+        emissive=emissive,
+    )
+
+
+def _nee_contribution(scene: Scene, cfg: RenderConfig, p, n, ns_raw,
+                      diffuse_beta, u):
+    """Next-event estimation toward sphere light 0.
+
+    Mirrors ``directLight`` + ``applyLight`` (``shadinglib.glsl:75-93,
+    181-189``): sample a point *inside* the light sphere, weight by the
+    samplingWeight heuristic, gate on the un-faceforwarded normal, test
+    occlusion against scene geometry vs the analytic sphere hit.
+    """
+    center = scene.lights.center[0]
+    radius = scene.lights.radius[0]
+    lcolor = scene.lights.color[0]
+
+    sphere_pt = center + radius * smp.uniform_sphere(
+        u[:, smp.S_LIGHT1], u[:, smp.S_LIGHT2])
+    lpath = sphere_pt - p
+    ldir = pm.normalize(lpath)
+    dist = pm.length(center - p)
+    weight = smp.light_sampling_weight(ldir, n, radius, dist)
+
+    shadow_o = p + ldir * GAP
+    t_light = intersect_sphere(shadow_o, ldir, center, radius + GAP)
+    occ = occluded(scene, shadow_o, ldir, t_light, cfg)
+    front = pm.dot(ns_raw, ldir) >= 0.0
+    vis = (~occ) & front & (t_light < INF_DIST)
+    return jnp.where(vis[:, None],
+                     diffuse_beta * weight[:, None] * lcolor, 0.0)
+
+
+def make_bounce_step(scene: Scene, cfg: RenderConfig):
+    """Build the per-bounce scan body (closure over static scene/config)."""
+
+    def step(carry, u):
+        o, d, beta, radiance, alive = carry
+        hit = closest_hit(scene, o, d, cfg)
+
+        miss = alive & hit.missed
+        env = scene.environment.sample(d)
+        radiance = radiance + jnp.where(miss[:, None], beta * env, 0.0)
+
+        on_surf = alive & ~hit.missed
+        surf = _interpolate_surface(scene, hit, d)
+        p = o + hit.t[:, None] * d
+        n = pm.faceforward(surf["shading_normal"], d)
+
+        # Emissive pickup (rayshading.comp:206,273 — physically-correct
+        # version: add beta * emissive, path continues).
+        radiance = radiance + jnp.where(
+            on_surf[:, None], beta * surf["emissive"], 0.0)
+
+        # Specular color model (rayshading.comp:168-177).
+        cosmag = jnp.clip(
+            jnp.abs(pm.dot(d, n)) ** (cfg.ior - 1.0), 0.0, 1.0)
+        dielectric = pm.mix(jnp.ones_like(beta),
+                            jnp.full_like(beta, 0.05), cosmag[:, None])
+        sc = pm.mix(dielectric, surf["albedo"],
+                    jnp.sqrt(jnp.clip(surf["metallic"], 0.0, 1.0))[:, None])
+        spca = jnp.clip(pm.length(sc), 0.0, 1.0)
+
+        # Branch coins.
+        prom = 1.0 - surf["alpha"]
+        pass_through = u[:, smp.S_ALPHA] < prom
+        choose_spec = (~pass_through) & (u[:, smp.S_SPEC] < spca)
+        choose_diff = (~pass_through) & (~choose_spec)
+
+        # Continuation directions.
+        cos_dir = smp.cosine_hemisphere(n, u[:, smp.S_COS1],
+                                        u[:, smp.S_COS2])
+        gloss = jnp.clip(surf["roughness"] * u[:, smp.S_GLOSS],
+                         0.0, 1.0)[:, None]
+        spec_dir = pm.normalize(
+            pm.mix(pm.reflect(d, n), cos_dir, gloss))
+
+        new_d = jnp.where(pass_through[:, None], d,
+                          jnp.where(choose_spec[:, None], spec_dir,
+                                    cos_dir))
+        branch_beta = jnp.where(
+            pass_through[:, None], jnp.ones_like(beta),
+            jnp.where(choose_spec[:, None],
+                      jnp.clip(sc / jnp.maximum(spca, 1e-6)[:, None],
+                               0.0, 1.0),
+                      surf["albedo"]))
+        new_beta = beta * branch_beta
+        new_o = p + new_d * GAP
+
+        # NEE from the diffuse branch (rayshading.comp:270-274).
+        if cfg.direct_light and scene.lights.count > 0:
+            diffuse_beta = jnp.where(
+                (on_surf & choose_diff)[:, None],
+                beta * surf["albedo"], 0.0)
+            radiance = radiance + _nee_contribution(
+                scene, cfg, p, n, surf["shading_normal"], diffuse_beta, u)
+
+        # Lane liveness: throughput cutoff (rayshading.comp:240).
+        new_alive = on_surf & (pm.length(new_beta) > cfg.min_throughput)
+
+        new_o = jnp.where(on_surf[:, None], new_o, o)
+        new_d = jnp.where(on_surf[:, None], new_d, d)
+        new_beta = jnp.where(on_surf[:, None], new_beta, beta)
+        return (new_o, new_d, new_beta, radiance, new_alive), None
+
+    return step
+
+
+def trace(scene: Scene, cfg: RenderConfig, o, d, bounce_samples):
+    """Trace rays through ``cfg.max_bounces`` bounces.
+
+    o, d: f32[R,3]; bounce_samples: f32[B,R,8].  Returns radiance f32[R,3].
+    """
+    r = o.shape[0]
+    init = (
+        o, d,
+        jnp.ones((r, 3), jnp.float32),
+        jnp.zeros((r, 3), jnp.float32),
+        jnp.ones((r,), bool),
+    )
+    step = make_bounce_step(scene, cfg)
+    (o, d, beta, radiance, alive), _ = jax.lax.scan(
+        step, init, bounce_samples)
+    return radiance
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_with_samples(
+    scene: Scene, camera: Camera, cfg: RenderConfig,
+    cam_samples, bounce_samples,
+) -> jax.Array:
+    """Deterministic render given explicit uniforms.
+
+    Returns linear-HDR image f32[H,W,3] (mean over spp); the functional
+    analog of one full frame of ``Viewer.cpp:284-315``.
+    """
+    o, d = generate_rays(camera, cfg, cam_samples)
+    radiance = trace(scene, cfg, o, d, bounce_samples)
+    img = radiance.reshape(cfg.spp, cfg.height, cfg.width, 3)
+    return jnp.mean(img, axis=0)
+
+
+def render(scene: Scene, camera: Camera, cfg: RenderConfig,
+           key: jax.Array) -> jax.Array:
+    """Convenience wrapper: generate the frame's sample arrays from a
+    threefry key and render."""
+    cam, bounce = smp.make_sample_arrays(key, cfg.n_rays, cfg.max_bounces)
+    return render_with_samples(scene, camera, cfg, cam, bounce)

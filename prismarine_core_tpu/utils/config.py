@@ -1,0 +1,63 @@
+"""Render configuration.
+
+Single-dataclass replacement for the reference's three config tiers
+(GLSL compile-time defines ``constants.glsl:9-36``, CMake options, and the
+viewer CLI flags ``Viewer.cpp:22-50``).  Everything here is *static* with
+respect to jit: a config value change triggers a recompile, mirroring the
+reference's shader-recompile semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+# Numeric constants, mirroring ShadersSDK/include/constants.glsl:70-77.
+PZERO = 0.0005          # ray-offset epsilon   (constants.glsl: PZERO)
+GAP = 2.0 * PZERO       # surface spawn offset (shadinglib.glsl:8  GAP)
+INF_DIST = 10000.0      # "infinity" hit dist  (constants.glsl: INFINITY)
+
+# Number of uniform random samples consumed per bounce / per camera ray.
+# See render/integrator.py for the slot layout.
+SAMPLES_PER_BOUNCE = 8
+SAMPLES_PER_CAMERA_RAY = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render settings (jit-static; hashable)."""
+
+    width: int = 256
+    height: int = 256
+    max_bounces: int = 4          # camera.comp:91 seeds bounce=4
+    spp: int = 1                  # samples per pixel per call
+    #: enable next-event-estimation shadow rays toward sphere light 0
+    #: (reference: DIRECT_LIGHT_ENABLED, rayshading.comp:270-274)
+    direct_light: bool = True
+    #: 360-degree equirectangular camera (camera.comp:48-59)
+    camera_360: bool = False
+    #: depth of field (camera.comp:67-75, EXPERIMENTAL_DOF)
+    dof: bool = False
+    dof_focus_radius: float = 10.0
+    dof_focal_radius: float = 1.0 / 16.0
+    #: kill rays whose throughput falls below this (rayshading.comp:240)
+    min_throughput: float = 1e-4
+    #: fixed IOR used by the dielectric specular mix (rayshading.comp:168)
+    ior: float = 1.4
+    #: triangle-block size for chunked brute-force intersection
+    tri_block: int = 512
+    #: leaf size (triangles per BVH leaf)
+    bvh_leaf_size: int = 4
+    #: which intersector to use: "brute" | "bvh"
+    intersector: str = "brute"
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height
+
+    @property
+    def n_rays(self) -> int:
+        return self.width * self.height * self.spp
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
