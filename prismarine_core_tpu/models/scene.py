@@ -27,11 +27,14 @@ class Scene:
     lights: SphereLights
     environment: Environment
     textures: TextureStack
+    #: acceleration structure; None until built (see ``with_bvh``).
+    bvh: object = None
 
     @staticmethod
     def assemble(triangles, materials, lights=None, environment=None,
-                 textures=None) -> "Scene":
-        return Scene(
+                 textures=None, build_bvh: bool = True,
+                 leaf_size: int = 4) -> "Scene":
+        scene = Scene(
             triangles=triangles,
             materials=materials,
             lights=lights if lights is not None else SphereLights.suns(),
@@ -40,6 +43,15 @@ class Scene:
             textures=(textures if textures is not None
                       else TextureStack.empty()),
         )
+        return scene.with_bvh(leaf_size) if build_bvh else scene
+
+    def with_bvh(self, leaf_size: int = 4) -> "Scene":
+        """(Re)build the acceleration structure — the analog of the
+        reference's per-frame ``markDirty(); build()``
+        (``Viewer.cpp:296-297``), but jittable and host-sync-free."""
+        from prismarine_core_tpu.accel.lbvh import build_bvh as _build
+        return dataclasses.replace(
+            self, bvh=_build(self.triangles, leaf_size=leaf_size))
 
 
 def make_cornell_scene(capacity: int | None = None) -> Scene:

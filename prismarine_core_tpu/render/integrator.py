@@ -49,6 +49,10 @@ def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> Hit:
                                        block=cfg.tri_block)
     elif cfg.intersector == "bvh":
         from prismarine_core_tpu.accel.traverse import intersect_closest_bvh
+        if scene.bvh is None:
+            raise ValueError(
+                "cfg.intersector='bvh' but scene.bvh is None — build it "
+                "with scene.with_bvh() (Scene.assemble does by default)")
         return intersect_closest_bvh(scene.bvh, scene.triangles, o, d)
     raise ValueError(f"unknown intersector {cfg.intersector!r}")
 
@@ -59,6 +63,10 @@ def occluded(scene: Scene, o, d, t_max, cfg: RenderConfig):
                               block=cfg.tri_block)
     elif cfg.intersector == "bvh":
         from prismarine_core_tpu.accel.traverse import occluded_bvh
+        if scene.bvh is None:
+            raise ValueError(
+                "cfg.intersector='bvh' but scene.bvh is None — build it "
+                "with scene.with_bvh() (Scene.assemble does by default)")
         return occluded_bvh(scene.bvh, scene.triangles, o, d, t_max)
     raise ValueError(f"unknown intersector {cfg.intersector!r}")
 

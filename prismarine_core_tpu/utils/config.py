@@ -49,7 +49,7 @@ class RenderConfig:
     #: leaf size (triangles per BVH leaf)
     bvh_leaf_size: int = 4
     #: which intersector to use: "brute" | "bvh"
-    intersector: str = "brute"
+    intersector: str = "bvh"
 
     @property
     def n_pixels(self) -> int:

@@ -1,0 +1,140 @@
+"""BVH build invariants + traversal equivalence with brute force."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prismarine_core_tpu.accel.lbvh import EMPTY_BOX, build_bvh
+from prismarine_core_tpu.accel.traverse import (
+    intersect_closest_bvh, occluded_bvh)
+from prismarine_core_tpu.models.geometry import TriangleSoup, make_box
+from prismarine_core_tpu.ops.intersect import (
+    intersect_closest_brute, occluded_brute)
+from prismarine_core_tpu.ops.morton import morton30
+from prismarine_core_tpu.utils.config import INF_DIST
+
+
+def _random_soup(n_tris, capacity=None, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-5, 5, (n_tris, 3)).astype(np.float32)
+    verts = np.concatenate([
+        centers + rng.normal(0, 0.3, (n_tris, 3)),
+        centers + rng.normal(0, 0.3, (n_tris, 3)),
+        centers + rng.normal(0, 0.3, (n_tris, 3)),
+    ]).astype(np.float32)
+    faces = np.stack([np.arange(n_tris), np.arange(n_tris) + n_tris,
+                      np.arange(n_tris) + 2 * n_tris], axis=1)
+    return TriangleSoup.from_arrays(verts, faces, capacity=capacity)
+
+
+def test_morton30_basic():
+    q = jnp.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+                     [1023, 1023, 1023]], jnp.uint32)
+    codes = morton30(q)
+    assert int(codes[0]) == 0
+    assert int(codes[1]) == 1
+    assert int(codes[2]) == 2
+    assert int(codes[3]) == 4
+    assert int(codes[4]) == (1 << 30) - 1
+
+
+def test_bvh_containment():
+    """Every valid triangle's AABB is inside its leaf and all ancestors."""
+    soup = _random_soup(100, capacity=128)
+    bvh = build_bvh(soup, leaf_size=4)
+    lo = np.asarray(bvh.lo)
+    hi = np.asarray(bvh.hi)
+    orig = np.asarray(bvh.orig)
+    tv0, tv1, tv2 = map(np.asarray, (bvh.tv0, bvh.tv1, bvh.tv2))
+    k = bvh.leaf_size
+    fl = bvh.first_leaf
+    eps = 1e-4
+    for slot in range(len(orig)):
+        if orig[slot] < 0:
+            continue
+        tlo = np.minimum(np.minimum(tv0[slot], tv1[slot]), tv2[slot])
+        thi = np.maximum(np.maximum(tv0[slot], tv1[slot]), tv2[slot])
+        node = fl + slot // k
+        while True:
+            assert (lo[node] <= tlo + eps).all(), (slot, node)
+            assert (hi[node] >= thi - eps).all(), (slot, node)
+            if node == 0:
+                break
+            node = (node - 1) // 2
+
+
+def test_bvh_padding_leaves_empty():
+    soup = _random_soup(10, capacity=64)
+    bvh = build_bvh(soup, leaf_size=4)
+    orig = np.asarray(bvh.orig)
+    assert (orig >= 0).sum() == 10
+    # all-empty leaves must be point boxes at EMPTY_BOX
+    lo = np.asarray(bvh.lo)
+    k = bvh.leaf_size
+    for leaf in range(bvh.n_leaves):
+        if (orig[leaf * k:(leaf + 1) * k] < 0).all():
+            assert (lo[bvh.first_leaf + leaf] == EMPTY_BOX).all()
+
+
+@pytest.mark.parametrize("n_tris,capacity", [(12, 12), (300, 384)])
+def test_bvh_matches_brute(n_tris, capacity):
+    if n_tris == 12:
+        verts, faces, mids = make_box((-1, -1, -1), (1, 1, 1))
+        soup = TriangleSoup.from_arrays(verts, faces, mat_ids=mids)
+    else:
+        soup = _random_soup(n_tris, capacity=capacity, seed=3)
+    bvh = build_bvh(soup, leaf_size=4)
+
+    rng = np.random.default_rng(1)
+    r = 256
+    o = jnp.asarray(rng.uniform(-8, 8, (r, 3)).astype(np.float32))
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+    hb = intersect_closest_brute(soup, o, d, block=64)
+    hv = intersect_closest_bvh(bvh, soup, o, d)
+
+    np.testing.assert_array_equal(np.asarray(hv.tri), np.asarray(hb.tri))
+    m = np.asarray(hb.tri) >= 0
+    np.testing.assert_allclose(np.asarray(hv.t)[m], np.asarray(hb.t)[m],
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(hv.u)[m], np.asarray(hb.u)[m],
+                               atol=1e-5)
+
+
+def test_occluded_matches_brute():
+    soup = _random_soup(200, capacity=256, seed=5)
+    bvh = build_bvh(soup, leaf_size=4)
+    rng = np.random.default_rng(2)
+    r = 256
+    o = jnp.asarray(rng.uniform(-8, 8, (r, 3)).astype(np.float32))
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    t_max = jnp.asarray(rng.uniform(0.5, 20.0, (r,)).astype(np.float32))
+    ob = occluded_brute(soup, o, d, t_max, block=64)
+    ov = occluded_bvh(bvh, soup, o, d, t_max)
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(ob))
+
+
+def test_bvh_gradients_flow():
+    verts, faces, mids = make_box((-1, -1, -1), (1, 1, 1))
+    soup = TriangleSoup.from_arrays(verts, faces, mat_ids=mids)
+    bvh = build_bvh(soup, leaf_size=4)
+    o = jnp.asarray([[0.0, 0.0, 5.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+
+    def f(v0):
+        import dataclasses
+        s2 = dataclasses.replace(soup, v0=v0)
+        hit = intersect_closest_bvh(bvh, s2, o, d)
+        return hit.t.sum()
+
+    g = jax.grad(f)(soup.v0)
+    assert bool(jnp.isfinite(g).all())
+    assert bool((jnp.abs(g) > 0).any())
+    # moving the front face (z=1) toward the camera decreases t:
+    # dt/dz of hit vertices should be negative.
+    hitids = np.asarray(
+        intersect_closest_bvh(bvh, soup, o, d).tri)
+    assert hitids[0] >= 0
