@@ -1,0 +1,125 @@
+"""Headless render CLI — the viewer analog.
+
+Mirrors the reference glTF viewer's flags (``Viewer.cpp:22-50``:
+``-m/--model -s/--scale -d/--depth`` plus ``-di/--dir``) with additions
+for resolution, sample count and output path.  There is no window (TPU
+hosts are headless); progressive frames accumulate and the result is
+written as PNG + HDR.
+
+    python -m prismarine_core_tpu.cli --model cow.obj --scale 1.0 \
+        --depth 4 --res 640x480 --frames 16 --out render.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="prismarine-tpu-render",
+        description="TPU-native path tracer (headless)")
+    p.add_argument("-m", "--model", help="OBJ file (default: built-in "
+                   "cornell scene)")
+    p.add_argument("-s", "--scale", type=float, default=1.0,
+                   help="model scale (Viewer.cpp -s)")
+    p.add_argument("-d", "--depth", type=int, default=4,
+                   help="bounce depth (Viewer.cpp -d)")
+    p.add_argument("--res", default="512x512", help="WxH")
+    p.add_argument("--spp", type=int, default=1,
+                   help="samples per pixel per frame")
+    p.add_argument("--frames", type=int, default=8,
+                   help="progressive frames to accumulate")
+    p.add_argument("--out", default="render.png",
+                   help="output (.png; .hdr and .npy written alongside)")
+    p.add_argument("--scene", default="cornell",
+                   choices=["cornell", "sunplane", "hall"],
+                   help="built-in scene when no --model given")
+    p.add_argument("--hall-tris", type=int, default=100_000)
+    p.add_argument("--eye", default=None,
+                   help="camera eye 'x,y,z' (scene default otherwise)")
+    p.add_argument("--target", default=None, help="camera target 'x,y,z'")
+    p.add_argument("--fov", type=float, default=60.0)
+    p.add_argument("--env", default=None,
+                   help="equirect background image (reference "
+                   "loadCubemap analog)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--camera-360", action="store_true")
+    return p
+
+
+def _vec(s):
+    return tuple(float(x) for x in s.split(","))
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+
+    from prismarine_core_tpu.models.camera import Camera
+    from prismarine_core_tpu.models.scene import (
+        Scene, make_cornell_scene, make_sun_plane_scene)
+    from prismarine_core_tpu.render.pipeline import ProgressiveRenderer
+    from prismarine_core_tpu.utils.config import RenderConfig
+    from prismarine_core_tpu.utils.image import save_hdr, save_npy, save_png
+
+    w, h = (int(x) for x in args.res.lower().split("x"))
+
+    if args.model:
+        from prismarine_core_tpu.models.lights import SphereLights
+        from prismarine_core_tpu.models.obj_loader import load_obj
+        from prismarine_core_tpu.models.textures import Environment
+        soup, mats, texs = load_obj(args.model, scale=args.scale)
+        env = Environment.constant((0.4, 0.55, 0.75))
+        if args.env:
+            from PIL import Image
+            img = np.asarray(Image.open(args.env).convert("RGB"),
+                             np.float32) / 255.0
+            env = Environment.from_image(img)
+        scene = Scene.assemble(soup, mats, SphereLights.suns(), env, texs)
+        default_eye, default_target = (3.0, 2.0, 5.0), (0.0, 0.5, 0.0)
+    elif args.scene == "cornell":
+        scene = make_cornell_scene()
+        default_eye, default_target = (0.0, 0.0, 3.4), (0.0, 0.0, 0.0)
+    elif args.scene == "sunplane":
+        scene = make_sun_plane_scene()
+        default_eye, default_target = (3.0, 2.0, 5.0), (0.0, 0.5, 0.0)
+    else:
+        from prismarine_core_tpu.models.procedural import make_hall_scene
+        scene = make_hall_scene(target_tris=args.hall_tris)
+        default_eye, default_target = (-10.0, 2.2, 0.0), (6.0, 1.6, 0.0)
+
+    camera = Camera.look_at(
+        eye=_vec(args.eye) if args.eye else default_eye,
+        target=_vec(args.target) if args.target else default_target,
+        fov_y_deg=args.fov)
+    cfg = RenderConfig(width=w, height=h, spp=args.spp,
+                       max_bounces=args.depth,
+                       camera_360=args.camera_360)
+
+    renderer = ProgressiveRenderer(scene, camera, cfg, seed=args.seed)
+    t0 = time.perf_counter()
+    for i in range(args.frames):
+        renderer.step()
+        if i == 0:
+            print(f"[render] first frame {time.perf_counter()-t0:.1f}s "
+                  f"(incl. compile)", file=sys.stderr)
+    img = renderer.snapshot()
+    dt = time.perf_counter() - t0
+    print(f"[render] {args.frames} frames ({renderer.sample_count} spp) "
+          f"in {dt:.1f}s; mean={img.mean():.4f}", file=sys.stderr)
+
+    base = args.out.rsplit(".", 1)[0]
+    save_png(args.out, img)
+    save_hdr(base + ".hdr", img)
+    save_npy(base + ".npy", img)
+    print(f"[render] wrote {args.out}, {base}.hdr, {base}.npy",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,125 @@
+"""Procedural benchmark scenes.
+
+The baseline configs call for sponza-class geometry (BASELINE.json:
+"sponza.obj 1280x720, 4 bounces") but no such asset ships with the
+reference; this generator builds a deterministic colonnaded-hall scene of
+configurable triangle count (columns, arches, floor, clutter boxes) so
+benchmarks are reproducible from code alone.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from prismarine_core_tpu.models.geometry import (
+    TriangleSoup, make_box, merge_meshes)
+from prismarine_core_tpu.models.lights import SphereLights
+from prismarine_core_tpu.models.materials import MaterialTable
+from prismarine_core_tpu.models.scene import Scene
+from prismarine_core_tpu.models.textures import Environment
+
+
+def _cylinder(center, radius, height, segments, mat_id):
+    """Open cylinder shell (2*segments triangles)."""
+    cx, cy, cz = center
+    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    ring = np.stack([cx + radius * np.cos(ang),
+                     np.full(segments, cy),
+                     cz + radius * np.sin(ang)], axis=1)
+    top = ring + np.array([0, height, 0], np.float32)
+    verts = np.concatenate([ring, top]).astype(np.float32)
+    faces = []
+    for i in range(segments):
+        j = (i + 1) % segments
+        faces.append([i, segments + i, segments + j])
+        faces.append([i, segments + j, j])
+    faces = np.asarray(faces, np.int64)
+    return verts, faces, np.full(len(faces), mat_id, np.int32)
+
+
+def _sphere_mesh(center, radius, rows, cols, mat_id):
+    """UV sphere (2*rows*cols triangles)."""
+    cx, cy, cz = center
+    phi = np.linspace(0, np.pi, rows + 1)
+    theta = np.linspace(0, 2 * np.pi, cols, endpoint=False)
+    pp, tt = np.meshgrid(phi, theta, indexing="ij")
+    verts = np.stack([
+        cx + radius * np.sin(pp) * np.cos(tt),
+        cy + radius * np.cos(pp),
+        cz + radius * np.sin(pp) * np.sin(tt),
+    ], axis=-1).reshape(-1, 3).astype(np.float32)
+    faces = []
+    for r in range(rows):
+        for c in range(cols):
+            c2 = (c + 1) % cols
+            a = r * cols + c
+            b = r * cols + c2
+            d = (r + 1) * cols + c
+            e = (r + 1) * cols + c2
+            faces.append([a, d, e])
+            faces.append([a, e, b])
+    faces = np.asarray(faces, np.int64)
+    return verts, faces, np.full(len(faces), mat_id, np.int32)
+
+
+def make_hall_scene(target_tris: int = 100_000, seed: int = 0,
+                    capacity: int | None = None,
+                    build_bvh: bool = True) -> Scene:
+    """Colonnaded hall: floor + walls, two rows of segmented columns,
+    sphere clutter — scaled to roughly ``target_tris`` triangles."""
+    rng = np.random.default_rng(seed)
+    parts = []
+
+    hall_l, hall_w, hall_h = 24.0, 10.0, 6.0
+    parts.append(make_box((-hall_l / 2, -0.2, -hall_w / 2),
+                          (hall_l / 2, 0.0, hall_w / 2), mat_id=0))
+    parts.append(make_box((-hall_l / 2, 0.0, -hall_w / 2 - 0.2),
+                          (hall_l / 2, hall_h, -hall_w / 2), mat_id=1))
+    parts.append(make_box((-hall_l / 2, 0.0, hall_w / 2),
+                          (hall_l / 2, hall_h, hall_w / 2 + 0.2),
+                          mat_id=1))
+
+    # budget: spend remaining triangles on columns + spheres
+    n_cols = 16
+    fixed = sum(len(p[1]) for p in parts)
+    per_col = max((target_tris - fixed) * 6 // 10 // n_cols, 8)
+    segments = max(per_col // 2, 4)
+    xs = np.linspace(-hall_l / 2 + 2, hall_l / 2 - 2, n_cols // 2)
+    for x in xs:
+        for z in (-hall_w / 2 + 1.2, hall_w / 2 - 1.2):
+            parts.append(_cylinder((x, 0.0, z), 0.45, hall_h - 1.0,
+                                   segments, mat_id=2))
+            parts.append(make_box((x - 0.7, hall_h - 1.0, z - 0.7),
+                                  (x + 0.7, hall_h - 0.6, z + 0.7),
+                                  mat_id=2))
+
+    used = sum(len(p[1]) for p in parts)
+    n_spheres = 12
+    per_sphere = max((target_tris - used) // max(n_spheres, 1), 8)
+    rows = max(int(np.sqrt(per_sphere / 2)), 2)
+    for _ in range(n_spheres):
+        c = (rng.uniform(-hall_l / 2 + 2, hall_l / 2 - 2),
+             rng.uniform(0.4, 1.2),
+             rng.uniform(-hall_w / 2 + 1.5, hall_w / 2 - 1.5))
+        parts.append(_sphere_mesh(c, rng.uniform(0.3, 0.7), rows,
+                                  2 * rows, mat_id=3 + int(rng.integers(3))))
+
+    verts, faces, mids = merge_meshes(parts)
+    soup = TriangleSoup.from_arrays(verts, faces, mat_ids=mids,
+                                    capacity=capacity)
+    mats = MaterialTable.build([
+        {"diffuse": (0.55, 0.5, 0.45), "roughness": 0.6},          # floor
+        {"diffuse": (0.6, 0.55, 0.5)},                              # walls
+        {"diffuse": (0.7, 0.68, 0.62), "roughness": 0.4},           # columns
+        {"diffuse": (0.7, 0.3, 0.25), "roughness": 0.3,
+         "metallic": 0.1},
+        {"diffuse": (0.3, 0.5, 0.7), "roughness": 0.2,
+         "metallic": 0.6},
+        {"diffuse": (0.8, 0.75, 0.3), "roughness": 0.1,
+         "metallic": 0.9},
+    ])
+    scene = Scene.assemble(
+        soup, mats, SphereLights.suns(),
+        Environment.constant((0.35, 0.45, 0.65)),
+        build_bvh=build_bvh)
+    return scene

@@ -1,0 +1,146 @@
+"""Device-mesh sharding: scale-out for rays and triangles.
+
+The reference is strictly single-GPU (SURVEY.md §2: no NCCL/MPI, no
+multi-device code) — this module is new capability.  Design (SURVEY.md §7
+stage 7, scaling-book recipe: pick a mesh, annotate shardings, let XLA
+insert collectives):
+
+* mesh axes ``('data', 'model')``: ``data`` shards rays/pixels (pure DP —
+  every ray is independent), ``model`` shards triangle ranges (the
+  model-parallel analog for scenes larger than one chip's HBM).
+* GSPMD/pjit does the partitioning: the brute-force intersector's
+  [R, T] block computation splits over both axes and the closest-hit
+  min-reduce over T becomes a cross-``model`` collective; per-pixel
+  radiance and parameter gradients all-reduce over ICI automatically
+  under `jax.grad`.
+* the BVH path gathers from its node arrays, which would turn into
+  collective gathers if sharded — so BVH arrays stay replicated
+  (correct whenever the scene fits per-chip; triangle-sharded traversal
+  with ppermute ray forwarding is the planned big-scene path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from prismarine_core_tpu.models.camera import Camera
+from prismarine_core_tpu.models.scene import Scene
+from prismarine_core_tpu.render.integrator import render_with_samples
+from prismarine_core_tpu.utils.config import RenderConfig
+
+
+def make_mesh(n_devices: int | None = None, model_parallel: int = 1,
+              devices=None) -> Mesh:
+    """2D mesh ('data', 'model'); ``model_parallel`` divides n_devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = n_devices or len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    dev = np.asarray(devices[:n]).reshape(n // model_parallel,
+                                          model_parallel)
+    return Mesh(dev, ("data", "model"))
+
+
+def scene_shardings(scene: Scene, mesh: Mesh, shard_triangles: bool):
+    """PartitionSpec pytree for a Scene: triangle arrays split over
+    'model' (leading T dim) when requested; everything else replicated."""
+    def spec_for_soup(a):
+        if shard_triangles:
+            return NamedSharding(mesh, P("model", *([None] * (a.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    repl = NamedSharding(mesh, P())
+    specs = jax.tree.map(lambda _: repl, scene)
+    import dataclasses
+    specs = dataclasses.replace(
+        specs, triangles=jax.tree.map(spec_for_soup, scene.triangles))
+    return specs
+
+
+def shard_scene(scene: Scene, mesh: Mesh,
+                shard_triangles: bool = False) -> Scene:
+    """Place a Scene on the mesh with the standard layout."""
+    return jax.device_put(
+        scene, scene_shardings(scene, mesh, shard_triangles))
+
+
+def make_sharded_renderer(mesh: Mesh, cfg: RenderConfig,
+                          shard_triangles: bool = False):
+    """jit-compiled renderer with rays sharded over 'data'.
+
+    Returns fn(scene, camera, cam_samples, bounce_samples) -> image.
+    Sample arrays shard on their ray axis; the image comes back
+    replicated (the spp-mean reduction crosses the data axis and XLA
+    inserts the collective).
+    """
+    ray_sh = NamedSharding(mesh, P("data", None))
+    bounce_sh = NamedSharding(mesh, P(None, "data", None))
+    repl = NamedSharding(mesh, P())
+
+    def _render(scene, camera, cam_samples, bounce_samples):
+        return render_with_samples(scene, camera, cfg, cam_samples,
+                                   bounce_samples)
+
+    return jax.jit(
+        _render,
+        in_shardings=(None, None, ray_sh, bounce_sh),
+        out_shardings=repl,
+    )
+
+
+# -- differentiable training step (inverse rendering) ---------------------
+
+def make_train_step(mesh: Mesh, cfg: RenderConfig, lr: float = 5e-2,
+                    shard_triangles: bool = False):
+    """Inverse-rendering SGD step, the flagship 'training step':
+    params = (material diffuse table, light colors, vertex positions);
+    loss = MSE against a target image; gradients all-reduce over the mesh
+    under GSPMD.  Returns jitted fn(params, scene, camera, cam_s,
+    bounce_s, target) -> (params, loss).
+    """
+    ray_sh = NamedSharding(mesh, P("data", None))
+    bounce_sh = NamedSharding(mesh, P(None, "data", None))
+    repl = NamedSharding(mesh, P())
+
+    def apply_params(scene: Scene, params) -> Scene:
+        import dataclasses
+        mats = dataclasses.replace(scene.materials,
+                                   diffuse=params["mat_diffuse"])
+        lights = dataclasses.replace(scene.lights,
+                                     color=params["light_color"])
+        tris = dataclasses.replace(scene.triangles, v0=params["v0"])
+        scene = dataclasses.replace(scene, materials=mats, lights=lights,
+                                    triangles=tris)
+        return scene
+
+    def loss_fn(params, scene, camera, cam_s, bounce_s, target):
+        scene = apply_params(scene, params)
+        img = render_with_samples(scene, camera, cfg, cam_s, bounce_s)
+        return jnp.mean((img - target) ** 2)
+
+    def step(params, scene, camera, cam_s, bounce_s, target):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, scene, camera, cam_s, bounce_s, target)
+        params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return params, loss
+
+    # params inherit their arg shardings (v0 may arrive 'model'-sharded
+    # from shard_scene); GSPMD keeps the update sharded the same way.
+    return jax.jit(
+        step,
+        in_shardings=(None, None, None, ray_sh, bounce_sh, repl),
+        out_shardings=(None, repl),
+    )
+
+
+def init_params(scene: Scene):
+    return {
+        "mat_diffuse": scene.materials.diffuse,
+        "light_color": scene.lights.color,
+        "v0": scene.triangles.v0,
+    }

@@ -1,0 +1,84 @@
+"""Renderer facade with progressive accumulation.
+
+The analog of the reference's ``psm::Pipeline`` host class + sampler.comp:
+holds the scene/camera/config, renders frames, and blends each new frame
+into a progressive accumulator (``sampler.comp:82-95``), which resets on
+camera movement (``Controller``, ``Application.hpp:128-173``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prismarine_core_tpu.models.camera import Camera
+from prismarine_core_tpu.models.scene import Scene
+from prismarine_core_tpu.render.integrator import render
+from prismarine_core_tpu.utils.config import RenderConfig
+
+
+class ProgressiveRenderer:
+    """Stateful host-side facade (the only mutable object in the stack)."""
+
+    def __init__(self, scene: Scene, camera: Camera, cfg: RenderConfig,
+                 seed: int = 0):
+        self.scene = scene
+        self.cfg = cfg
+        self._camera = camera
+        self._key = jax.random.key(seed)
+        self._accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+        self._n_frames = 0
+
+    # -- camera control (resets accumulation like the reference) ----------
+
+    @property
+    def camera(self) -> Camera:
+        return self._camera
+
+    @camera.setter
+    def camera(self, cam: Camera) -> None:
+        self._camera = cam
+        self.clear()
+
+    def clear(self) -> None:
+        self._accum = jnp.zeros_like(self._accum)
+        self._n_frames = 0
+
+    # -- rendering --------------------------------------------------------
+
+    def step(self) -> jax.Array:
+        """Render one frame and fold it into the running average.
+        Returns the current accumulated image."""
+        self._key, sub = jax.random.split(self._key)
+        frame = render(self.scene, self._camera, self.cfg, sub)
+        n = self._n_frames
+        self._accum = (self._accum * n + frame) / (n + 1)
+        self._n_frames = n + 1
+        return self._accum
+
+    def render_frames(self, n: int) -> jax.Array:
+        for _ in range(n):
+            img = self.step()
+        return img
+
+    @property
+    def sample_count(self) -> int:
+        return self._n_frames * self.cfg.spp
+
+    def snapshot(self) -> np.ndarray:
+        """Host copy of the HDR accumulator (``snapRawHdr`` analog,
+        ``Pipeline.hpp:120``)."""
+        return np.asarray(self._accum)
+
+    def set_exposure_scene(self, scene: Scene) -> None:
+        self.scene = scene
+        self.clear()
+
+    def rebuild_bvh(self) -> None:
+        """Per-frame rebuild path for animated geometry
+        (``markDirty(); build()``, ``Viewer.cpp:296-297``)."""
+        self.scene = dataclasses.replace(
+            self.scene).with_bvh(self.cfg.bvh_leaf_size)
