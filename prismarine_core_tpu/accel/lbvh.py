@@ -97,7 +97,12 @@ def _skip_links(depth: int) -> np.ndarray:
 
 def _tree_depth(n_tris: int, leaf_size: int) -> int:
     n_leaves_needed = max(-(-n_tris // leaf_size), 1)
-    return max(int(np.ceil(np.log2(n_leaves_needed))), 0)
+    depth = max(int(np.ceil(np.log2(n_leaves_needed))), 0)
+    # Keep total slots (n_leaves * leaf_size) a multiple of 128 so the
+    # packet/Pallas block view (accel/packet.py, BLOCK=128) aligns with
+    # the slot arrays without re-padding.
+    min_depth = max(int(np.ceil(np.log2(128 / leaf_size))), 0)
+    return max(depth, min_depth)
 
 
 @partial(jax.jit, static_argnames=("leaf_size",))
@@ -105,6 +110,8 @@ def build_bvh(soup: TriangleSoup, leaf_size: int = 4) -> BVH:
     """Build the BVH from a (padded) triangle soup. Fully jittable: one
     XLA program, no host round-trips (the reference needs 4+ CPU syncs
     per rebuild, ``TriangleHierarchy.inl:209-314``)."""
+    assert leaf_size & (leaf_size - 1) == 0, \
+        "leaf_size must be a power of two (slot/block alignment)"
     t = soup.capacity
     depth = _tree_depth(t, leaf_size)
     n_leaves = 2 ** depth

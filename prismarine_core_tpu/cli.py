@@ -70,9 +70,13 @@ def main(argv=None) -> int:
 
     if args.model:
         from prismarine_core_tpu.models.lights import SphereLights
-        from prismarine_core_tpu.models.obj_loader import load_obj
         from prismarine_core_tpu.models.textures import Environment
-        soup, mats, texs = load_obj(args.model, scale=args.scale)
+        if args.model.lower().endswith((".gltf", ".glb")):
+            from prismarine_core_tpu.models.gltf_loader import load_gltf
+            soup, mats, texs = load_gltf(args.model, scale=args.scale)
+        else:
+            from prismarine_core_tpu.models.obj_loader import load_obj
+            soup, mats, texs = load_obj(args.model, scale=args.scale)
         env = Environment.constant((0.4, 0.55, 0.75))
         if args.env:
             from PIL import Image

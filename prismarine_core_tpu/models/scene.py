@@ -29,6 +29,8 @@ class Scene:
     textures: TextureStack
     #: acceleration structure; None until built (see ``with_bvh``).
     bvh: object = None
+    #: packet-intersector block set (built together with the BVH).
+    packets: object = None
 
     @staticmethod
     def assemble(triangles, materials, lights=None, environment=None,
@@ -46,12 +48,14 @@ class Scene:
         return scene.with_bvh(leaf_size) if build_bvh else scene
 
     def with_bvh(self, leaf_size: int = 4) -> "Scene":
-        """(Re)build the acceleration structure — the analog of the
+        """(Re)build the acceleration structures — the analog of the
         reference's per-frame ``markDirty(); build()``
         (``Viewer.cpp:296-297``), but jittable and host-sync-free."""
         from prismarine_core_tpu.accel.lbvh import build_bvh as _build
+        from prismarine_core_tpu.accel.packet import build_packet_set
+        bvh = _build(self.triangles, leaf_size=leaf_size)
         return dataclasses.replace(
-            self, bvh=_build(self.triangles, leaf_size=leaf_size))
+            self, bvh=bvh, packets=build_packet_set(bvh))
 
 
 def make_cornell_scene(capacity: int | None = None) -> Scene:

@@ -53,7 +53,17 @@ def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> Hit:
             raise ValueError(
                 "cfg.intersector='bvh' but scene.bvh is None — build it "
                 "with scene.with_bvh() (Scene.assemble does by default)")
-        return intersect_closest_bvh(scene.bvh, scene.triangles, o, d)
+        return intersect_closest_bvh(scene.bvh, scene.triangles, o, d,
+                                     chunk=cfg.traverse_chunk,
+                                     sort=cfg.sort_rays)
+    elif cfg.intersector in ("packet", "pallas"):
+        from prismarine_core_tpu.accel import packet as pk
+        if scene.packets is None:
+            raise ValueError("scene.packets is None — build with "
+                             "scene.with_bvh()")
+        fn = (pk.intersect_closest_pallas if cfg.intersector == "pallas"
+              else pk.intersect_closest_packet)
+        return fn(scene.bvh, scene.packets, scene.triangles, o, d)
     raise ValueError(f"unknown intersector {cfg.intersector!r}")
 
 
@@ -67,7 +77,16 @@ def occluded(scene: Scene, o, d, t_max, cfg: RenderConfig):
             raise ValueError(
                 "cfg.intersector='bvh' but scene.bvh is None — build it "
                 "with scene.with_bvh() (Scene.assemble does by default)")
-        return occluded_bvh(scene.bvh, scene.triangles, o, d, t_max)
+        return occluded_bvh(scene.bvh, scene.triangles, o, d, t_max,
+                            chunk=cfg.traverse_chunk, sort=cfg.sort_rays)
+    elif cfg.intersector in ("packet", "pallas"):
+        from prismarine_core_tpu.accel import packet as pk
+        if scene.packets is None:
+            raise ValueError("scene.packets is None — build with "
+                             "scene.with_bvh()")
+        fn = (pk.occluded_pallas if cfg.intersector == "pallas"
+              else pk.occluded_packet)
+        return fn(scene.bvh, scene.packets, scene.triangles, o, d, t_max)
     raise ValueError(f"unknown intersector {cfg.intersector!r}")
 
 

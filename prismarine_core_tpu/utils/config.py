@@ -50,6 +50,15 @@ class RenderConfig:
     bvh_leaf_size: int = 4
     #: which intersector to use: "brute" | "bvh"
     intersector: str = "bvh"
+    #: traversal ray-chunk size (0 = whole batch in one while_loop);
+    #: smaller chunks bound each while_loop's iteration count by the
+    #: chunk's own worst ray instead of the global worst.
+    traverse_chunk: int = 0
+    #: sort rays by direction octant + origin morton before traversal
+    #: (the TPU analog of the reference's wavefront compaction /
+    #: optional ray sorting, Pipeline.hpp:101) — coherent chunks
+    #: retire together.
+    sort_rays: bool = False
 
     @property
     def n_pixels(self) -> int:

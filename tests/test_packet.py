@@ -1,0 +1,111 @@
+"""Packet intersector must agree with the brute-force intersector."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prismarine_core_tpu.accel.lbvh import build_bvh
+from prismarine_core_tpu.accel.packet import (
+    build_packet_set, intersect_closest_packet, occluded_packet)
+from prismarine_core_tpu.models.procedural import make_hall_scene
+from prismarine_core_tpu.ops.intersect import (
+    intersect_closest_brute, occluded_brute)
+from tests.test_bvh import _random_soup
+
+
+def _rand_rays(r, seed=0, lo=-8, hi=8):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.uniform(lo, hi, (r, 3)).astype(np.float32))
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    return o, d
+
+
+@pytest.mark.parametrize("n_tris,r", [(50, 64), (300, 512), (1000, 333)])
+def test_packet_matches_brute(n_tris, r):
+    soup = _random_soup(n_tris, capacity=n_tris + 7, seed=2)
+    bvh = build_bvh(soup, leaf_size=4)
+    ps = build_packet_set(bvh)
+    o, d = _rand_rays(r, seed=1)
+
+    hb = intersect_closest_brute(soup, o, d, block=64)
+    hp = intersect_closest_packet(bvh, ps, soup, o, d)
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
+    m = np.asarray(hb.tri) >= 0
+    np.testing.assert_allclose(np.asarray(hp.t)[m], np.asarray(hb.t)[m],
+                               rtol=1e-5)
+
+
+def test_packet_occlusion_matches_brute():
+    soup = _random_soup(400, capacity=512, seed=4)
+    bvh = build_bvh(soup, leaf_size=4)
+    ps = build_packet_set(bvh)
+    o, d = _rand_rays(300, seed=5)
+    rng = np.random.default_rng(6)
+    t_max = jnp.asarray(rng.uniform(0.5, 20, (300,)).astype(np.float32))
+    ob = occluded_brute(soup, o, d, t_max, block=64)
+    op = occluded_packet(bvh, ps, soup, o, d, t_max)
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(ob))
+
+
+def test_packet_render_matches_bvh_render():
+    from prismarine_core_tpu.models.camera import Camera
+    from prismarine_core_tpu.ops.sampling import make_sample_arrays
+    from prismarine_core_tpu.render.integrator import render_with_samples
+    from prismarine_core_tpu.utils.config import RenderConfig
+
+    scene = make_hall_scene(target_tris=3000)
+    cam = Camera.look_at(eye=(-10.0, 2.2, 0.0), target=(6.0, 1.6, 0.0),
+                         fov_y_deg=60.0)
+    cfg_p = RenderConfig(width=32, height=24, spp=1, max_bounces=2,
+                         intersector="packet")
+    cfg_b = cfg_p.replace(intersector="bvh")
+    cam_s, bounce_s = make_sample_arrays(
+        jax.random.key(0), cfg_p.n_rays, cfg_p.max_bounces)
+    ip = np.asarray(render_with_samples(scene, cam, cfg_p, cam_s,
+                                        bounce_s))
+    ib = np.asarray(render_with_samples(scene, cam, cfg_b, cam_s,
+                                        bounce_s))
+    diff = np.abs(ip - ib)
+    assert (diff.max(axis=-1) > 1e-3).mean() < 0.005
+    assert ip.mean() > 1e-2
+
+
+def test_packet_gradients():
+    soup = _random_soup(100, capacity=128, seed=8)
+    bvh = build_bvh(soup, leaf_size=4)
+    ps = build_packet_set(bvh)
+    o, d = _rand_rays(64, seed=9)
+
+    def f(v0):
+        import dataclasses
+        s2 = dataclasses.replace(soup, v0=v0)
+        hit = intersect_closest_packet(bvh, ps, s2, o, d)
+        return jnp.where(hit.tri >= 0, hit.t, 0.0).sum()
+
+    g = jax.grad(f)(soup.v0)
+    assert bool(jnp.isfinite(g).all())
+
+
+@pytest.mark.parametrize("n_tris,r", [(300, 512), (1000, 200)])
+def test_pallas_matches_brute(n_tris, r):
+    from prismarine_core_tpu.accel.packet import (
+        intersect_closest_pallas, occluded_pallas)
+    soup = _random_soup(n_tris, capacity=n_tris + 5, seed=11)
+    bvh = build_bvh(soup, leaf_size=4)
+    ps = build_packet_set(bvh)
+    o, d = _rand_rays(r, seed=12)
+
+    hb = intersect_closest_brute(soup, o, d, block=64)
+    hp = intersect_closest_pallas(bvh, ps, soup, o, d)
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
+    m = np.asarray(hb.tri) >= 0
+    np.testing.assert_allclose(np.asarray(hp.t)[m], np.asarray(hb.t)[m],
+                               rtol=1e-5)
+
+    rng = np.random.default_rng(13)
+    t_max = jnp.asarray(rng.uniform(0.5, 20, (r,)).astype(np.float32))
+    ob = occluded_brute(soup, o, d, t_max, block=64)
+    op = occluded_pallas(bvh, ps, soup, o, d, t_max)
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(ob))
