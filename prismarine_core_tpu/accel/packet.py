@@ -237,39 +237,33 @@ def _packet_core(bvh: BVH, ps: PacketSet, o, d, t_cap, any_hit: bool):
             bv.reshape(r))
 
 
-def _build_pairs(overlap, pair_budget: int):
+def _build_pairs(overlap):
     """Compact the [T,B] overlap mask into a tile-major pair list.
 
-    Returns (pair_tile, pair_block, first_pair, overflow) with static
-    length P = T * pair_budget; padded entries target tile index T (the
-    caller provides a padding tile row).  ``overflow`` counts dropped
-    pairs (diagnostic; enlarge pair_budget if ever nonzero).
+    Returns (pair_tile, pair_block, n_real) with static length T*B (the
+    exact worst case — execution cost adapts to ``n_real``, see the
+    windowed kernel driver); padded entries target tile index T.
     """
     nt, nb = overlap.shape
-    p_cap = nt * pair_budget
     flat = overlap.reshape(-1)                      # tile-major order
     pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
     total = pos[-1] + 1
     tile_of = (jnp.arange(nt * nb, dtype=jnp.int32) // nb)
     block_of = (jnp.arange(nt * nb, dtype=jnp.int32) % nb)
-    target = jnp.where(flat & (pos < p_cap), pos, p_cap)
-    pair_tile = jnp.full((p_cap + 1,), nt, jnp.int32).at[target].set(
-        tile_of, mode="drop")[:p_cap]
-    pair_block = jnp.zeros((p_cap + 1,), jnp.int32).at[target].set(
-        block_of, mode="drop")[:p_cap]
-    first = jnp.concatenate([
-        jnp.ones((1,), jnp.int32),
-        (pair_tile[1:] != pair_tile[:-1]).astype(jnp.int32)])
-    overflow = jnp.maximum(total - p_cap, 0)
-    return pair_tile, pair_block, first, overflow
+    target = jnp.where(flat, pos, nt * nb)
+    pair_tile = jnp.full((nt * nb + 1,), nt, jnp.int32).at[target].set(
+        tile_of, mode="drop")[:nt * nb]
+    pair_block = jnp.zeros((nt * nb + 1,), jnp.int32).at[target].set(
+        block_of, mode="drop")[:nt * nb]
+    return pair_tile, pair_block, total
 
 
 def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
-                       any_hit: bool, pair_budget: int = 48):
-    """Pallas fast path: sort+tile rays, cull blocks, run the pair
-    kernel (ops/pallas_intersect.py), unsort."""
+                       any_hit: bool, window: int = 4096):
+    """Pallas fast path: sort+tile rays, cull blocks, run the windowed
+    pair kernel (ops/pallas_intersect.py), unsort."""
     from prismarine_core_tpu.ops.pallas_intersect import (
-        pallas_pair_intersect)
+        pallas_pair_intersect_windowed)
 
     r = o.shape[0]
     keys = _ray_sort_keys(bvh.lo[0], bvh.hi[0], o, d)
@@ -304,8 +298,7 @@ def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
         ps.block_lo[None, :, :], ps.block_hi[None, :, :], t_hi)
     counts = overlap.sum(axis=1).astype(jnp.int32)
 
-    pair_tile, pair_block, first, _overflow = _build_pairs(
-        overlap, pair_budget)
+    pair_tile, pair_block, n_real = _build_pairs(overlap)
 
     # rays layout [(nt+1)*TILE, 8]: component columns + one padding tile
     rays = jnp.zeros((nt + 1, TILE, 8), jnp.float32)
@@ -318,12 +311,19 @@ def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
     rays = rays.at[:nt, :, 6].set(tct)
     rays = rays.reshape((nt + 1) * TILE, 8)
 
-    out = pallas_pair_intersect(
-        pair_tile, pair_block, first, rays, ps.planes,
-        n_pairs=int(pair_tile.shape[0]))
+    # pad the pair list to a window multiple so dynamic_slice never clamps
+    window = min(window, int(pair_tile.shape[0]))
+    wpad = (-int(pair_tile.shape[0])) % window
+    if wpad:
+        pair_tile = jnp.concatenate(
+            [pair_tile, jnp.full((wpad,), nt, jnp.int32)])
+        pair_block = jnp.concatenate(
+            [pair_block, jnp.zeros((wpad,), jnp.int32)])
+    out = pallas_pair_intersect_windowed(
+        pair_tile, pair_block, n_real, rays, ps.planes, window=window)
     out = out.reshape(nt + 1, TILE, 8)[:nt]
     t = out[:, :, 0]
-    slot = jnp.round(out[:, :, 1]).astype(jnp.int32)
+    slot = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32)
     u = out[:, :, 2]
     v = out[:, :, 3]
 

@@ -102,6 +102,30 @@ class TriangleSoup:
         )
 
     @staticmethod
+    def from_corners(v0, v1, v2, n0, n1, n2, t0, t1, t2, mat_ids,
+                     capacity: int | None = None) -> "TriangleSoup":
+        """Build directly from per-corner arrays (native loader path)."""
+        nf = len(v0)
+        cap = capacity or nf
+        assert cap >= nf
+
+        def pad(x, w):
+            out = np.zeros((cap, w), np.float32)
+            out[:nf] = x
+            return jnp.asarray(out)
+
+        valid = np.zeros((cap,), bool)
+        valid[:nf] = True
+        mid = np.zeros((cap,), np.int32)
+        mid[:nf] = mat_ids
+        return TriangleSoup(
+            v0=pad(v0, 3), v1=pad(v1, 3), v2=pad(v2, 3),
+            n0=pad(n0, 3), n1=pad(n1, 3), n2=pad(n2, 3),
+            t0=pad(t0, 2), t1=pad(t1, 2), t2=pad(t2, 2),
+            mat_id=jnp.asarray(mid), valid=jnp.asarray(valid),
+        )
+
+    @staticmethod
     def concatenate(soups: list["TriangleSoup"]) -> "TriangleSoup":
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *soups)
 

@@ -76,12 +76,24 @@ def load_obj(
     scale: float = 1.0,
     capacity: int | None = None,
     texture_resolution: int = 256,
+    use_native: bool = True,
 ) -> Tuple[TriangleSoup, MaterialTable, TextureStack]:
     """Parse an OBJ file into (TriangleSoup, MaterialTable, TextureStack).
 
     ``scale`` mirrors the viewer's ``-s/--scale`` flag
-    (``Viewer.cpp:30-36``).
+    (``Viewer.cpp:30-36``).  Geometry parsing goes through the native
+    C++ parser (prismarine_core_tpu/native.py) when available, with
+    this module's pure-Python path as fallback and reference.
     """
+    if use_native:
+        try:
+            from prismarine_core_tpu.native import parse_obj_native
+            parsed = parse_obj_native(os.path.abspath(path))
+        except Exception:
+            parsed = None
+        if parsed is not None:
+            return _assemble_native(parsed, path, scale, capacity,
+                                    texture_resolution)
     positions: list = []
     normals: list = []
     texcoords: list = []
@@ -201,6 +213,37 @@ def load_obj(
                 d["tex_diffuse"] = len(images)
                 images.append(img)
         mat_dicts.append(d)
+    mats = MaterialTable.build(mat_dicts)
+    textures = (TextureStack.from_images(images, texture_resolution)
+                if images else TextureStack.empty())
+    return soup, mats, textures
+
+
+def _assemble_native(parsed: dict, path: str, scale: float,
+                     capacity: int | None, texture_resolution: int):
+    """Materials + soup assembly for the native geometry parse."""
+    base = os.path.dirname(os.path.abspath(path))
+    mtl = {}
+    if parsed["mtllib"]:
+        mtl = _parse_mtl(os.path.join(base, parsed["mtllib"]))
+
+    images: list = []
+    mat_dicts = []
+    for name in parsed["mat_names"]:
+        d = dict(mtl.get(name, {}))
+        d.setdefault("diffuse", (0.7, 0.7, 0.7))
+        if "map_kd" in d:
+            img = _try_load_image(os.path.join(base, d["map_kd"]))
+            if img is not None:
+                d["tex_diffuse"] = len(images)
+                images.append(img)
+        mat_dicts.append(d)
+
+    soup = TriangleSoup.from_corners(
+        parsed["v0"] * scale, parsed["v1"] * scale, parsed["v2"] * scale,
+        parsed["n0"], parsed["n1"], parsed["n2"],
+        parsed["t0"], parsed["t1"], parsed["t2"],
+        parsed["mat"], capacity=capacity)
     mats = MaterialTable.build(mat_dicts)
     textures = (TextureStack.from_images(images, texture_resolution)
                 if images else TextureStack.empty())

@@ -14,7 +14,8 @@ Layouts (all Mosaic-legal block shapes):
          [v0x v0y v0z e1x e1y e1z e2x e2y e2z valid 0...]; triangles
          land on lanes.
   out    f32[(nt+1)*TILE, 8]  — block (TILE, 8); columns
-         [t slot u v 0...] (slot stored as f32 — exact below 2^24).
+         [t slot u v 0...] (slot is an int32 BITCAST into the f32
+         column; Mosaic has no int<->float converts on this path).
 The hot math is [TILE, BLOCK] = [128, 128] f32, the exact VPU register
 shape, written component-wise (the 128-wide generalization of the
 reference's 2-wide packed Möller–Trumbore, ``vertex.glsl:117-189``).
@@ -55,9 +56,10 @@ RC_OX, RC_OY, RC_OZ, RC_DX, RC_DY, RC_DZ, RC_TCAP, _RC_PAD = range(8)
 OC_T, OC_SLOT, OC_U, OC_V = range(4)
 
 
-def _pair_kernel(pair_tile, pair_block, first_pair, pair_base_f,
+def _pair_kernel(pair_tile, pair_block, first_pair,
                  ray_ref,                             # [TILE, 8]
                  tri_ref,                             # [1, 16, BLOCK]
+                 prior_ref,                           # [TILE, 8]
                  out_ref):                            # [TILE, 8]
     i = pl.program_id(0)
 
@@ -73,11 +75,10 @@ def _pair_kernel(pair_tile, pair_block, first_pair, pair_base_f,
 
     @pl.when(first_pair[i] == 1)
     def _init():
-        tcap = ray_ref[:, RC_TCAP]
-        out_ref[:, :] = set_cols(
-            jnp.zeros((TILE, 8), jnp.float32),
-            **{str(OC_T): tcap,
-               str(OC_SLOT): jnp.full((TILE,), -1.0, jnp.float32)})
+        # first visit of this tile *within this window*: seed the VMEM
+        # accumulator from the previous window's best (or the caller's
+        # t_cap/-1 initialization on the first window).
+        out_ref[:, :] = prior_ref[:, :]
 
     # rays on sublanes, triangles on lanes: [TILE, BLOCK]
     def rcol(c):
@@ -121,55 +122,100 @@ def _pair_kernel(pair_tile, pair_block, first_pair, pair_base_f,
     sel = cols == j[:, None]
     uj = jnp.sum(jnp.where(sel, uu, 0.0), axis=1)
     vj = jnp.sum(jnp.where(sel, vv, 0.0), axis=1)
-    # argmin as float without any int->float convert (Mosaic rejects
-    # sitofp): select from a float iota.
-    colsf = jax.lax.broadcasted_iota(jnp.float32, (TILE, BLOCK), 1)
-    jf = jnp.sum(jnp.where(sel, colsf, 0.0), axis=1)
 
-    base = pair_base_f[i]  # float block base, precomputed by the caller
-    out = out_ref[:, :]
+    # slot update entirely in int32 (bitcast through the f32 column)
+    slot_old = jax.lax.bitcast_convert_type(out_ref[:, OC_SLOT],
+                                            jnp.int32)
+    slot_new = jnp.where(better, pair_block[i] * BLOCK + j, slot_old)
+    slot_f = jax.lax.bitcast_convert_type(slot_new, jnp.float32)
+
+    best_row = out_ref[:, :]
     out_ref[:, :] = set_cols(
-        out,
+        best_row,
         **{str(OC_T): jnp.where(better, tj, best),
-           str(OC_SLOT): jnp.where(better, base + jf, out[:, OC_SLOT]),
-           str(OC_U): jnp.where(better, uj, out[:, OC_U]),
-           str(OC_V): jnp.where(better, vj, out[:, OC_V])})
+           str(OC_SLOT): slot_f,
+           str(OC_U): jnp.where(better, uj, best_row[:, OC_U]),
+           str(OC_V): jnp.where(better, vj, best_row[:, OC_V])})
 
 
-@partial(jax.jit, static_argnames=("n_pairs",))
-def pallas_pair_intersect(
-    pair_tile, pair_block, first_pair,   # i32[P] (pairs sorted by tile)
-    rays,                                # f32[(nt+1)*TILE, 8]
-    tris,                                # f32[nb, 16, BLOCK]
-    n_pairs: int,
+@partial(jax.jit, static_argnames=("window",))
+def pallas_pair_intersect_windowed(
+    pair_tile, pair_block,   # i32[L] full pair list, tile-major; padding
+                             # pairs target tile nt (the dummy row)
+    n_real: jax.Array,       # i32[] number of real pairs
+    rays,                    # f32[(nt+1)*TILE, 8]
+    tris,                    # f32[nb, 16, BLOCK]
+    window: int = 4096,
 ):
-    """Run the pair kernel; returns f32[(nt+1)*TILE, 8] output columns
-    [t, slot, u, v, ...] (slot == -1 for miss, else a float slot id)."""
+    """Exact pair execution: while_loop over fixed-size pair windows,
+    each one `pallas_call` over the window grid; per-tile bests carry
+    across windows through the prior-input/first-flag handoff.  No pair
+    budget, no dropped work — the while trip count adapts to the scene
+    (total pairs / window) without recompilation.
+
+    Returns f32[(nt+1)*TILE, 8] columns [t, slot(bitcast i32), u, v,..].
+    """
     n_rows = rays.shape[0]
-    pair_base_f = (pair_block * BLOCK).astype(jnp.float32)
+    n_tiles_pad = n_rows // TILE - 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(n_pairs,),
+        num_scalar_prefetch=3,
+        grid=(window,),
         in_specs=[
             pl.BlockSpec((TILE, 8),
-                         lambda i, pt, pb, fp, bf: (pt[i], 0),
+                         lambda i, pt, pb, fp: (pt[i], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16, BLOCK),
-                         lambda i, pt, pb, fp, bf: (pb[i], 0, 0),
+                         lambda i, pt, pb, fp: (pb[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 8),
+                         lambda i, pt, pb, fp: (pt[i], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE, 8),
-                               lambda i, pt, pb, fp, bf: (pt[i], 0),
+                               lambda i, pt, pb, fp: (pt[i], 0),
                                memory_space=pltpu.VMEM),
     )
 
     # CPU (tests / virtual mesh) has no Mosaic — fall back to the
     # interpreter there; real TPU compiles the kernel.
     interpret = jax.default_backend() == "cpu"
-    return pl.pallas_call(
+    call = pl.pallas_call(
         _pair_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, 8), jnp.float32),
         interpret=interpret,
-    )(pair_tile, pair_block, first_pair, pair_base_f, rays, tris)
+    )
+
+    # initial best: t = t_cap (ray column 6), slot = -1
+    colid = jnp.arange(8)[None, :]
+    neg1 = jax.lax.bitcast_convert_type(
+        jnp.full((n_rows,), -1, jnp.int32), jnp.float32)
+    init_out = jnp.where(
+        colid == OC_T, rays[:, RC_TCAP][:, None],
+        jnp.where(colid == OC_SLOT, neg1[:, None], 0.0))
+
+    def cond(state):
+        start, _ = state
+        return start < n_real
+
+    def body(state):
+        start, out = state
+        pt = jax.lax.dynamic_slice(pair_tile, (start,), (window,))
+        pb = jax.lax.dynamic_slice(pair_block, (start,), (window,))
+        # mask pairs beyond the real count to the padding tile
+        live = (start + jnp.arange(window, dtype=jnp.int32)) < n_real
+        pt = jnp.where(live, pt, n_tiles_pad)
+        fp = jnp.concatenate([
+            jnp.ones((1,), jnp.int32),
+            (pt[1:] != pt[:-1]).astype(jnp.int32)])
+        res = call(pt, pb, fp, rays, tris, out)
+        # output blocks of tiles NOT visited this window are undefined —
+        # keep the carried values there.
+        visited = jnp.zeros((n_tiles_pad + 1,), bool).at[pt].set(True)
+        vrows = jnp.repeat(visited, TILE)[:, None]
+        out = jnp.where(vrows, res, out)
+        return start + window, out
+
+    _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), init_out))
+    return out

@@ -113,6 +113,24 @@ def _interpolate_surface(scene: Scene, hit: Hit, d):
     uv = w * soup.t0[tri] + uu * soup.t1[tri] + vv * soup.t2[tri]
 
     mat = scene.materials.lookup(soup.mat_id[tri])
+
+    # Tangent-space normal mapping (surface.comp:121-163): perturb the
+    # interpolated normal by the bump texture where one is bound.
+    has_btex = mat.tex_bump >= 0
+    btex = sample_bilinear(scene.textures, mat.tex_bump, uv)
+    e1 = soup.v1[tri] - soup.v0[tri]
+    e2 = soup.v2[tri] - soup.v0[tri]
+    duv1 = soup.t1[tri] - soup.t0[tri]
+    duv2 = soup.t2[tri] - soup.t0[tri]
+    det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    rdet = pm.safe_rcp(det_uv)[:, None]
+    tang = pm.normalize((e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * rdet)
+    bitan = jnp.cross(ns, tang)
+    nt = btex[:, :3] * 2.0 - 1.0
+    n_mapped = pm.normalize(
+        tang * nt[:, 0:1] + bitan * nt[:, 1:2] + ns * nt[:, 2:3])
+    ns = jnp.where(has_btex[:, None], n_mapped, ns)
+
     albedo4 = mat.diffuse
     has_tex = mat.tex_diffuse >= 0
     tex = sample_bilinear(scene.textures, mat.tex_diffuse, uv)
@@ -244,17 +262,28 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig):
     return step
 
 
-def trace(scene: Scene, cfg: RenderConfig, o, d, bounce_samples):
+def interlace_mask(cfg: RenderConfig, stage) -> jax.Array:
+    """Checkerboard pixel mask for interlaced rendering
+    (camera.comp:96: active when (x+y) % 2 != stage)."""
+    x = jnp.arange(cfg.width)[None, :]
+    y = jnp.arange(cfg.height)[:, None]
+    return ((x + y) % 2) != (stage % 2)
+
+
+def trace(scene: Scene, cfg: RenderConfig, o, d, bounce_samples,
+          active=None):
     """Trace rays through ``cfg.max_bounces`` bounces.
 
-    o, d: f32[R,3]; bounce_samples: f32[B,R,8].  Returns radiance f32[R,3].
+    o, d: f32[R,3]; bounce_samples: f32[B,R,8]; ``active`` optionally
+    masks lanes off from the start (interlacing).
+    Returns radiance f32[R,3].
     """
     r = o.shape[0]
     init = (
         o, d,
         jnp.ones((r, 3), jnp.float32),
         jnp.zeros((r, 3), jnp.float32),
-        jnp.ones((r,), bool),
+        jnp.ones((r,), bool) if active is None else active,
     )
     step = make_bounce_step(scene, cfg)
     (o, d, beta, radiance, alive), _ = jax.lax.scan(
@@ -265,22 +294,29 @@ def trace(scene: Scene, cfg: RenderConfig, o, d, bounce_samples):
 @partial(jax.jit, static_argnames=("cfg",))
 def render_with_samples(
     scene: Scene, camera: Camera, cfg: RenderConfig,
-    cam_samples, bounce_samples,
+    cam_samples, bounce_samples, interlace_stage=0,
 ) -> jax.Array:
     """Deterministic render given explicit uniforms.
 
     Returns linear-HDR image f32[H,W,3] (mean over spp); the functional
-    analog of one full frame of ``Viewer.cpp:284-315``.
+    analog of one full frame of ``Viewer.cpp:284-315``.  With
+    ``cfg.interlace``, pixels of the inactive checkerboard parity come
+    back zero (the progressive pipeline tracks per-pixel weights).
     """
     o, d = generate_rays(camera, cfg, cam_samples)
-    radiance = trace(scene, cfg, o, d, bounce_samples)
+    active = None
+    if cfg.interlace:
+        mask = interlace_mask(cfg, interlace_stage).reshape(-1)
+        active = jnp.tile(mask, cfg.spp)
+    radiance = trace(scene, cfg, o, d, bounce_samples, active=active)
     img = radiance.reshape(cfg.spp, cfg.height, cfg.width, 3)
     return jnp.mean(img, axis=0)
 
 
 def render(scene: Scene, camera: Camera, cfg: RenderConfig,
-           key: jax.Array) -> jax.Array:
+           key: jax.Array, interlace_stage=0) -> jax.Array:
     """Convenience wrapper: generate the frame's sample arrays from a
     threefry key and render."""
     cam, bounce = smp.make_sample_arrays(key, cfg.n_rays, cfg.max_bounces)
-    return render_with_samples(scene, camera, cfg, cam, bounce)
+    return render_with_samples(scene, camera, cfg, cam, bounce,
+                               interlace_stage)

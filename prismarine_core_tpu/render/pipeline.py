@@ -29,7 +29,10 @@ class ProgressiveRenderer:
         self.cfg = cfg
         self._camera = camera
         self._key = jax.random.key(seed)
+        # weighted accumulation: with interlacing each checkerboard
+        # parity collects its own per-pixel weight (sampler.comp:82-95)
         self._accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+        self._weight = jnp.zeros((cfg.height, cfg.width, 1), jnp.float32)
         self._n_frames = 0
 
     # -- camera control (resets accumulation like the reference) ----------
@@ -45,6 +48,7 @@ class ProgressiveRenderer:
 
     def clear(self) -> None:
         self._accum = jnp.zeros_like(self._accum)
+        self._weight = jnp.zeros_like(self._weight)
         self._n_frames = 0
 
     # -- rendering --------------------------------------------------------
@@ -52,12 +56,20 @@ class ProgressiveRenderer:
     def step(self) -> jax.Array:
         """Render one frame and fold it into the running average.
         Returns the current accumulated image."""
+        from prismarine_core_tpu.render.integrator import interlace_mask
         self._key, sub = jax.random.split(self._key)
-        frame = render(self.scene, self._camera, self.cfg, sub)
-        n = self._n_frames
-        self._accum = (self._accum * n + frame) / (n + 1)
-        self._n_frames = n + 1
-        return self._accum
+        stage = self._n_frames
+        frame = render(self.scene, self._camera, self.cfg, sub,
+                       interlace_stage=stage)
+        if self.cfg.interlace:
+            w = interlace_mask(self.cfg, stage)[..., None]
+            w = w.astype(jnp.float32)
+        else:
+            w = jnp.ones_like(self._weight)
+        self._accum = self._accum + frame
+        self._weight = self._weight + w
+        self._n_frames += 1
+        return self._accum / jnp.maximum(self._weight, 1.0)
 
     def render_frames(self, n: int) -> jax.Array:
         for _ in range(n):
@@ -71,7 +83,8 @@ class ProgressiveRenderer:
     def snapshot(self) -> np.ndarray:
         """Host copy of the HDR accumulator (``snapRawHdr`` analog,
         ``Pipeline.hpp:120``)."""
-        return np.asarray(self._accum)
+        return np.asarray(self._accum
+                          / jnp.maximum(self._weight, 1.0))
 
     def set_exposure_scene(self, scene: Scene) -> None:
         self.scene = scene

@@ -36,6 +36,9 @@ class RenderConfig:
     direct_light: bool = True
     #: 360-degree equirectangular camera (camera.comp:48-59)
     camera_360: bool = False
+    #: checkerboard interlacing — trace only half the pixels per frame
+    #: (camera.comp:94-100); the progressive pipeline alternates stages
+    interlace: bool = False
     #: depth of field (camera.comp:67-75, EXPERIMENTAL_DOF)
     dof: bool = False
     dof_focus_radius: float = 10.0

@@ -141,3 +141,33 @@ def test_cli(tmp_path):
     assert out.exists()
     assert (tmp_path / "r.hdr").exists()
     assert (tmp_path / "r.npy").exists()
+
+
+def test_native_obj_matches_python(tmp_path):
+    """Native C++ parser must agree with the pure-Python path."""
+    from prismarine_core_tpu.native import get_lib
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    p = str(_write_obj(tmp_path))
+    sn, mn, _ = load_obj(p, scale=2.0, use_native=True)
+    sp, mp, _ = load_obj(p, scale=2.0, use_native=False)
+    assert int(sn.num_valid()) == int(sp.num_valid())
+    np.testing.assert_allclose(np.asarray(sn.v0), np.asarray(sp.v0))
+    np.testing.assert_allclose(np.asarray(sn.v1), np.asarray(sp.v1))
+    np.testing.assert_allclose(np.asarray(sn.t0), np.asarray(sp.t0))
+    np.testing.assert_array_equal(np.asarray(sn.mat_id),
+                                  np.asarray(sp.mat_id))
+    np.testing.assert_allclose(np.asarray(mn.diffuse),
+                               np.asarray(mp.diffuse))
+
+
+def test_native_obj_cow():
+    from prismarine_core_tpu.native import get_lib
+    path = "/root/reference/Resources/toys/Cow.obj"
+    if get_lib() is None or not os.path.exists(path):
+        pytest.skip("native or assets unavailable")
+    sn, _, _ = load_obj(path, use_native=True)
+    sp, _, _ = load_obj(path, use_native=False)
+    assert int(sn.num_valid()) == int(sp.num_valid())
+    np.testing.assert_allclose(np.asarray(sn.v0), np.asarray(sp.v0),
+                               rtol=1e-6)
