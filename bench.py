@@ -33,7 +33,7 @@ def main():
     n_tris = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     width, height = 1280, 720
     cfg = RenderConfig(width=width, height=height, spp=1, max_bounces=4,
-                       intersector="bvh", bvh_leaf_size=4)
+                       intersector="pallas", bvh_leaf_size=4)
     print(f"[bench] devices={jax.devices()}", file=sys.stderr)
     scene = make_hall_scene(target_tris=n_tris)
     scene = jax.device_put(scene)

@@ -257,7 +257,15 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig):
         new_o = jnp.where(on_surf[:, None], new_o, o)
         new_d = jnp.where(on_surf[:, None], new_d, d)
         new_beta = jnp.where(on_surf[:, None], new_beta, beta)
-        return (new_o, new_d, new_beta, radiance, new_alive), None
+        # per-bounce counters — the analog of the reference's arcounter
+        # readbacks (Pipeline.inl:325-359), kept on device
+        stats = jnp.stack([
+            jnp.sum(alive.astype(jnp.int32)),      # lanes entering bounce
+            jnp.sum(on_surf.astype(jnp.int32)),    # surface interactions
+            jnp.sum(miss.astype(jnp.int32)),       # env terminations
+            jnp.sum(new_alive.astype(jnp.int32)),  # survivors
+        ])
+        return (new_o, new_d, new_beta, radiance, new_alive), stats
 
     return step
 
@@ -286,31 +294,42 @@ def trace(scene: Scene, cfg: RenderConfig, o, d, bounce_samples,
         jnp.ones((r,), bool) if active is None else active,
     )
     step = make_bounce_step(scene, cfg)
-    (o, d, beta, radiance, alive), _ = jax.lax.scan(
+    (o, d, beta, radiance, alive), stats = jax.lax.scan(
         step, init, bounce_samples)
-    return radiance
+    return radiance, stats
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+def trace_radiance(scene, cfg, o, d, bounce_samples, active=None):
+    return trace(scene, cfg, o, d, bounce_samples, active)[0]
+
+
+@partial(jax.jit, static_argnames=("cfg", "with_stats"))
 def render_with_samples(
     scene: Scene, camera: Camera, cfg: RenderConfig,
     cam_samples, bounce_samples, interlace_stage=0,
-) -> jax.Array:
+    with_stats: bool = False,
+):
     """Deterministic render given explicit uniforms.
 
     Returns linear-HDR image f32[H,W,3] (mean over spp); the functional
     analog of one full frame of ``Viewer.cpp:284-315``.  With
     ``cfg.interlace``, pixels of the inactive checkerboard parity come
     back zero (the progressive pipeline tracks per-pixel weights).
+    ``with_stats=True`` additionally returns i32[bounces, 4] per-bounce
+    lane counters [entering, surface, env-miss, surviving].
     """
     o, d = generate_rays(camera, cfg, cam_samples)
     active = None
     if cfg.interlace:
         mask = interlace_mask(cfg, interlace_stage).reshape(-1)
         active = jnp.tile(mask, cfg.spp)
-    radiance = trace(scene, cfg, o, d, bounce_samples, active=active)
+    radiance, stats = trace(scene, cfg, o, d, bounce_samples,
+                            active=active)
     img = radiance.reshape(cfg.spp, cfg.height, cfg.width, 3)
-    return jnp.mean(img, axis=0)
+    img = jnp.mean(img, axis=0)
+    if with_stats:
+        return img, stats
+    return img
 
 
 def render(scene: Scene, camera: Camera, cfg: RenderConfig,
