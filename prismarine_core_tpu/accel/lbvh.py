@@ -98,10 +98,10 @@ def _skip_links(depth: int) -> np.ndarray:
 def _tree_depth(n_tris: int, leaf_size: int) -> int:
     n_leaves_needed = max(-(-n_tris // leaf_size), 1)
     depth = max(int(np.ceil(np.log2(n_leaves_needed))), 0)
-    # Keep total slots (n_leaves * leaf_size) a multiple of 128 so the
-    # packet/Pallas block view (accel/packet.py, BLOCK=128) aligns with
-    # the slot arrays without re-padding.
-    min_depth = max(int(np.ceil(np.log2(128 / leaf_size))), 0)
+    # Keep total slots (n_leaves * leaf_size) a multiple of 512 so the
+    # packet/Pallas block view (accel/packet.py: BLOCK=128, superblocks
+    # of 4 blocks) aligns with the slot arrays without re-padding.
+    min_depth = max(int(np.ceil(np.log2(512 / leaf_size))), 0)
     return max(depth, min_depth)
 
 

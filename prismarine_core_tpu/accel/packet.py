@@ -52,6 +52,9 @@ class PacketSet:
 
     block_lo: jax.Array  # f32[B,3]
     block_hi: jax.Array  # f32[B,3]
+    #: superblock (4-block) AABBs — the Pallas culling granularity
+    sb_lo: jax.Array     # f32[B/4,3]
+    sb_hi: jax.Array     # f32[B/4,3]
     #: f32[B, 16, BLOCK] component rows: v0xyz, e1xyz, e2xyz, valid, pad
     planes: jax.Array
     slot_orig: jax.Array  # i32[B*BLOCK] slot -> original triangle id
@@ -92,6 +95,24 @@ def build_packet_set(bvh: BVH) -> PacketSet:
 
     e1 = tv1 - tv0
     e2 = tv2 - tv0
+    # superblock boxes (empty blocks are +big point boxes: min keeps
+    # them neutral for lo only if all four are empty — recompute from
+    # the inverted form instead)
+    inv_lo = jnp.where((block_lo == big).all(-1, keepdims=True),
+                       big, block_lo)
+    inv_hi = jnp.where((block_hi == big).all(-1, keepdims=True),
+                       -big, block_hi)
+    nsb = nb // 4 if nb % 4 == 0 else -(-nb // 4)
+    sbpad = nsb * 4 - nb
+    if sbpad:
+        inv_lo = jnp.concatenate([inv_lo, jnp.full((sbpad, 3), big)])
+        inv_hi = jnp.concatenate([inv_hi, jnp.full((sbpad, 3), -big)])
+    sb_lo = inv_lo.reshape(nsb, 4, 3).min(axis=1)
+    sb_hi = inv_hi.reshape(nsb, 4, 3).max(axis=1)
+    sb_empty = (sb_lo > sb_hi).any(-1, keepdims=True)
+    sb_lo = jnp.where(sb_empty, big, sb_lo)
+    sb_hi = jnp.where(sb_empty, big, sb_hi)
+
     rows = [tv0[:, 0], tv0[:, 1], tv0[:, 2],
             e1[:, 0], e1[:, 1], e1[:, 2],
             e2[:, 0], e2[:, 1], e2[:, 2],
@@ -99,6 +120,7 @@ def build_packet_set(bvh: BVH) -> PacketSet:
     rows += [jnp.zeros_like(rows[0])] * (16 - len(rows))
     planes = jnp.stack([x.reshape(nb, bk) for x in rows], axis=1)
     return PacketSet(block_lo=block_lo, block_hi=block_hi,
+                     sb_lo=sb_lo, sb_hi=sb_hi,
                      planes=planes, slot_orig=orig)
 
 
@@ -133,15 +155,24 @@ def _interval_overlap(o_lo, o_hi, inv_lo, inv_hi, blk_lo, blk_hi, t_hi):
 
 
 def _ray_sort_keys(root_lo, root_hi, o, d):
+    """Coherence key: octant(3b) ++ origin-Morton(15b) ++
+    direction-Morton(12b).
+
+    Bounce rays share origins but scatter in direction; without the
+    direction bits a tile's frustum covers a whole octant of directions
+    and its conservative overlap list approaches *every* block.  Binning
+    by |d| within the octant (4 bits/axis) tightens tile cones to ~20
+    degrees, collapsing the pair count for incoherent queries.
+    """
     from prismarine_core_tpu.ops.morton import morton30
     unit = jnp.clip((o - root_lo)
                     / jnp.maximum(root_hi - root_lo, 1e-6), 0.0, 1.0)
-    q = (unit * 511.0).astype(jnp.uint32)
-    m = morton30(q)
+    om = morton30((unit * 31.0).astype(jnp.uint32))        # 15 bits
+    dm = morton30((jnp.abs(d) * 15.0).astype(jnp.uint32))  # 12 bits
     octant = ((d[:, 0] >= 0).astype(jnp.uint32)
               | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
               | ((d[:, 2] >= 0).astype(jnp.uint32) << 2))
-    return (octant << 27) | m
+    return (octant << 27) | (om << 12) | (dm & 0xFFF)
 
 
 def _packet_core(bvh: BVH, ps: PacketSet, o, d, t_cap, any_hit: bool):
@@ -293,9 +324,10 @@ def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
     inv_lo = inv.min(axis=1)[:, None, :]
     inv_hi = inv.max(axis=1)[:, None, :]
     t_hi = tct.max(axis=1)[:, None]
+    # cull at SUPERBLOCK granularity (the Pallas step unit)
     overlap = _interval_overlap(
         o_lo, o_hi, inv_lo, inv_hi,
-        ps.block_lo[None, :, :], ps.block_hi[None, :, :], t_hi)
+        ps.sb_lo[None, :, :], ps.sb_hi[None, :, :], t_hi)
     counts = overlap.sum(axis=1).astype(jnp.int32)
 
     pair_tile, pair_block, n_real = _build_pairs(overlap)
@@ -320,7 +352,8 @@ def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
         pair_block = jnp.concatenate(
             [pair_block, jnp.zeros((wpad,), jnp.int32)])
     out = pallas_pair_intersect_windowed(
-        pair_tile, pair_block, n_real, rays, ps.planes, window=window)
+        pair_tile, pair_block, n_real, rays, ps.planes, window=window,
+        any_hit=any_hit)
     out = out.reshape(nt + 1, TILE, 8)[:nt]
     t = out[:, :, 0]
     slot = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32)

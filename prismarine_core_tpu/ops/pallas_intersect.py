@@ -56,9 +56,15 @@ RC_OX, RC_OY, RC_OZ, RC_DX, RC_DY, RC_DZ, RC_TCAP, _RC_PAD = range(8)
 OC_T, OC_SLOT, OC_U, OC_V = range(4)
 
 
+#: triangle blocks processed per grid step (one "superblock") — bigger
+#: steps amortize the per-step grid/DMA overhead that dominated at one
+#: block per step.
+QUAD = 4
+
+
 def _pair_kernel(pair_tile, pair_block, first_pair,
                  ray_ref,                             # [TILE, 8]
-                 tri_ref,                             # [1, 16, BLOCK]
+                 tri_ref,                             # [QUAD, 16, BLOCK]
                  prior_ref,                           # [TILE, 8]
                  out_ref):                            # [TILE, 8]
     i = pl.program_id(0)
@@ -84,68 +90,77 @@ def _pair_kernel(pair_tile, pair_block, first_pair,
     def rcol(c):
         return ray_ref[:, c][:, None]
 
-    def trow(c):
-        return tri_ref[0, c, :][None, :]
-
     rdx, rdy, rdz = rcol(RC_DX), rcol(RC_DY), rcol(RC_DZ)
-    e1x, e1y, e1z = trow(TC_E1X), trow(TC_E1Y), trow(TC_E1Z)
-    e2x, e2y, e2z = trow(TC_E2X), trow(TC_E2Y), trow(TC_E2Z)
-
-    px = rdy * e2z - rdz * e2y
-    py = rdz * e2x - rdx * e2z
-    pz = rdx * e2y - rdy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    inv = 1.0 / jnp.where(jnp.abs(det) < _DET_EPS, _DET_EPS, det)
-
-    sx = rcol(RC_OX) - trow(TC_V0X)
-    sy = rcol(RC_OY) - trow(TC_V0Y)
-    sz = rcol(RC_OZ) - trow(TC_V0Z)
-    uu = (sx * px + sy * py + sz * pz) * inv
-    qx = sy * e1z - sz * e1y
-    qy = sz * e1x - sx * e1z
-    qz = sx * e1y - sy * e1x
-    vv = (rdx * qx + rdy * qy + rdz * qz) * inv
-    tt = (e2x * qx + e2y * qy + e2z * qz) * inv
-
-    ok = ((jnp.abs(det) >= _DET_EPS)
-          & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-          & (tt > PZERO) & (trow(TC_VALID) > 0.5))
-    tt = jnp.where(ok, tt, INF_DIST)
+    rox, roy, roz = rcol(RC_OX), rcol(RC_OY), rcol(RC_OZ)
 
     best = out_ref[:, OC_T]                                 # [TILE]
-    tt = jnp.where(tt < best[:, None], tt, INF_DIST)
-    j = jnp.argmin(tt, axis=1)                              # [TILE]
-    tj = jnp.min(tt, axis=1)
-    better = tj < best
-
+    slot_best = jax.lax.bitcast_convert_type(out_ref[:, OC_SLOT],
+                                             jnp.int32)
+    u_best = out_ref[:, OC_U]
+    v_best = out_ref[:, OC_V]
     cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, BLOCK), 1)
-    sel = cols == j[:, None]
-    uj = jnp.sum(jnp.where(sel, uu, 0.0), axis=1)
-    vj = jnp.sum(jnp.where(sel, vv, 0.0), axis=1)
 
-    # slot update entirely in int32 (bitcast through the f32 column)
-    slot_old = jax.lax.bitcast_convert_type(out_ref[:, OC_SLOT],
-                                            jnp.int32)
-    slot_new = jnp.where(better, pair_block[i] * BLOCK + j, slot_old)
-    slot_f = jax.lax.bitcast_convert_type(slot_new, jnp.float32)
+    for q in range(QUAD):
+        def trow(c):
+            return tri_ref[q, c, :][None, :]
 
-    best_row = out_ref[:, :]
+        e1x, e1y, e1z = trow(TC_E1X), trow(TC_E1Y), trow(TC_E1Z)
+        e2x, e2y, e2z = trow(TC_E2X), trow(TC_E2Y), trow(TC_E2Z)
+
+        px = rdy * e2z - rdz * e2y
+        py = rdz * e2x - rdx * e2z
+        pz = rdx * e2y - rdy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv = 1.0 / jnp.where(jnp.abs(det) < _DET_EPS, _DET_EPS, det)
+
+        sx = rox - trow(TC_V0X)
+        sy = roy - trow(TC_V0Y)
+        sz = roz - trow(TC_V0Z)
+        uu = (sx * px + sy * py + sz * pz) * inv
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        vv = (rdx * qx + rdy * qy + rdz * qz) * inv
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+
+        ok = ((jnp.abs(det) >= _DET_EPS)
+              & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+              & (tt > PZERO) & (trow(TC_VALID) > 0.5))
+        tt = jnp.where(ok & (tt < best[:, None]), tt, INF_DIST)
+
+        j = jnp.argmin(tt, axis=1)                          # [TILE]
+        tj = jnp.min(tt, axis=1)
+        better = tj < best
+
+        sel = cols == j[:, None]
+        uj = jnp.sum(jnp.where(sel, uu, 0.0), axis=1)
+        vj = jnp.sum(jnp.where(sel, vv, 0.0), axis=1)
+
+        base = (pair_block[i] * QUAD + q) * BLOCK
+        best = jnp.where(better, tj, best)
+        slot_best = jnp.where(better, base + j, slot_best)
+        u_best = jnp.where(better, uj, u_best)
+        v_best = jnp.where(better, vj, v_best)
+
     out_ref[:, :] = set_cols(
-        best_row,
-        **{str(OC_T): jnp.where(better, tj, best),
-           str(OC_SLOT): slot_f,
-           str(OC_U): jnp.where(better, uj, best_row[:, OC_U]),
-           str(OC_V): jnp.where(better, vj, best_row[:, OC_V])})
+        out_ref[:, :],
+        **{str(OC_T): best,
+           str(OC_SLOT): jax.lax.bitcast_convert_type(slot_best,
+                                                      jnp.float32),
+           str(OC_U): u_best,
+           str(OC_V): v_best})
 
 
-@partial(jax.jit, static_argnames=("window",))
+@partial(jax.jit, static_argnames=("window", "any_hit"))
 def pallas_pair_intersect_windowed(
     pair_tile, pair_block,   # i32[L] full pair list, tile-major; padding
-                             # pairs target tile nt (the dummy row)
+                             # pairs target tile nt (the dummy row);
+                             # pair_block is in SUPERBLOCK (QUAD) units
     n_real: jax.Array,       # i32[] number of real pairs
     rays,                    # f32[(nt+1)*TILE, 8]
-    tris,                    # f32[nb, 16, BLOCK]
+    tris,                    # f32[nb, 16, BLOCK], nb % QUAD == 0
     window: int = 4096,
+    any_hit: bool = False,
 ):
     """Exact pair execution: while_loop over fixed-size pair windows,
     each one `pallas_call` over the window grid; per-tile bests carry
@@ -165,7 +180,7 @@ def pallas_pair_intersect_windowed(
             pl.BlockSpec((TILE, 8),
                          lambda i, pt, pb, fp: (pt[i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, BLOCK),
+            pl.BlockSpec((QUAD, 16, BLOCK),
                          lambda i, pt, pb, fp: (pb[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 8),
@@ -196,8 +211,14 @@ def pallas_pair_intersect_windowed(
         jnp.where(colid == OC_SLOT, neg1[:, None], 0.0))
 
     def cond(state):
-        start, _ = state
-        return start < n_real
+        start, out = state
+        more = start < n_real
+        if any_hit:
+            # shadow queries retire once every real lane is shadowed
+            slots = jax.lax.bitcast_convert_type(out[:, OC_SLOT],
+                                                 jnp.int32)
+            more = more & ~jnp.all(slots[:n_rows - TILE] >= 0)
+        return more
 
     def body(state):
         start, out = state
