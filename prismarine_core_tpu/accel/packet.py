@@ -154,6 +154,48 @@ def _interval_overlap(o_lo, o_hi, inv_lo, inv_hi, blk_lo, blk_hi, t_hi):
     return (tf >= jnp.maximum(tn, 0.0)) & (tn <= t_hi)
 
 
+def _per_ray_tile_overlap(ot, dt, tct, sb_lo, sb_hi,
+                          chunk: int = 64):
+    """Exact per-tile candidate mask: a tile lists a superblock iff some
+    ray in it actually passes the slab test.
+
+    Replaces the conservative interval-frustum test for the Pallas path:
+    incoherent (bounce) tiles have wide direction cones, and the frustum
+    bound degenerates toward 'every block'; testing the 128 rays
+    individually and OR-reducing is a few Gflop of dense VPU work and
+    shrinks pair counts by an order of magnitude.
+    """
+    nt = ot.shape[0]
+    nb = sb_lo.shape[0]
+    pad = (-nt) % chunk
+    if pad:
+        zot = jnp.zeros((pad,) + ot.shape[1:], ot.dtype)
+        ot = jnp.concatenate([ot, zot])
+        dt = jnp.concatenate([dt, jnp.ones_like(zot)])
+        tct = jnp.concatenate(
+            [tct, jnp.zeros((pad,) + tct.shape[1:], tct.dtype)])
+
+    inv = 1.0 / jnp.where(jnp.abs(dt) < 1e-12,
+                          jnp.where(dt < 0, -1e-12, 1e-12), dt)
+
+    def step(_, args):
+        o_c, inv_c, tc_c = args                     # [C, TILE, ...]
+        t0 = (sb_lo[None, None] - o_c[:, :, None]) * inv_c[:, :, None]
+        t1 = (sb_hi[None, None] - o_c[:, :, None]) * inv_c[:, :, None]
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)  # [C, TILE, nsb]
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= tc_c[:, :, None])
+        return None, jnp.any(hit, axis=1)           # [C, nsb]
+
+    n_chunks = ot.shape[0] // chunk
+    _, out = jax.lax.scan(
+        step, None,
+        (ot.reshape(n_chunks, chunk, TILE, 3),
+         inv.reshape(n_chunks, chunk, TILE, 3),
+         tct.reshape(n_chunks, chunk, TILE)))
+    return out.reshape(-1, nb)[:nt]
+
+
 def _ray_sort_keys(root_lo, root_hi, o, d):
     """Coherence key: octant(3b) ++ origin-Morton(15b) ++
     direction-Morton(12b).
@@ -317,17 +359,8 @@ def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
     dt = d.reshape(nt, TILE, 3)
     tct = t_cap.reshape(nt, TILE)
 
-    o_lo = ot.min(axis=1)[:, None, :]
-    o_hi = ot.max(axis=1)[:, None, :]
-    inv = 1.0 / jnp.where(jnp.abs(dt) < 1e-12,
-                          jnp.where(dt < 0, -1e-12, 1e-12), dt)
-    inv_lo = inv.min(axis=1)[:, None, :]
-    inv_hi = inv.max(axis=1)[:, None, :]
-    t_hi = tct.max(axis=1)[:, None]
-    # cull at SUPERBLOCK granularity (the Pallas step unit)
-    overlap = _interval_overlap(
-        o_lo, o_hi, inv_lo, inv_hi,
-        ps.sb_lo[None, :, :], ps.sb_hi[None, :, :], t_hi)
+    # exact per-ray culling at SUPERBLOCK granularity (the step unit)
+    overlap = _per_ray_tile_overlap(ot, dt, tct, ps.sb_lo, ps.sb_hi)
     counts = overlap.sum(axis=1).astype(jnp.int32)
 
     pair_tile, pair_block, n_real = _build_pairs(overlap)

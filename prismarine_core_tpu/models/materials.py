@@ -31,6 +31,9 @@ class MaterialTable:
     diffuse: jax.Array     # f32[M,4] rgb + alpha
     specular: jax.Array    # f32[M,4] x unused, y=roughness, z=metallic
     emissive: jax.Array    # f32[M,4]
+    #: transmission tint for the pass-through/refraction branch
+    #: (``VirtualMaterial.transmission``); rgb all-zero means untinted
+    transmission: jax.Array  # f32[M,4]
     ior: jax.Array         # f32[M]
     tex_diffuse: jax.Array   # i32[M], -1 = none
     tex_specular: jax.Array  # i32[M]
@@ -54,6 +57,7 @@ class MaterialTable:
         diffuse = np.zeros((m, 4), np.float32)
         specular = np.zeros((m, 4), np.float32)
         emissive = np.zeros((m, 4), np.float32)
+        transmission = np.zeros((m, 4), np.float32)
         ior = np.full((m,), 1.0, np.float32)
         texd = np.full((m,), -1, np.int32)
         texs = np.full((m,), -1, np.int32)
@@ -65,6 +69,7 @@ class MaterialTable:
             specular[i, 1] = d.get("roughness", 0.0001)
             specular[i, 2] = d.get("metallic", 0.0)
             emissive[i, :3] = d.get("emissive", (0.0, 0.0, 0.0))
+            transmission[i, :3] = d.get("transmission", (0.0, 0.0, 0.0))
             ior[i] = d.get("ior", 1.0)
             texd[i] = d.get("tex_diffuse", -1)
             texs[i] = d.get("tex_specular", -1)
@@ -72,7 +77,9 @@ class MaterialTable:
             texb[i] = d.get("tex_bump", -1)
         return MaterialTable(
             diffuse=jnp.asarray(diffuse), specular=jnp.asarray(specular),
-            emissive=jnp.asarray(emissive), ior=jnp.asarray(ior),
+            emissive=jnp.asarray(emissive),
+            transmission=jnp.asarray(transmission),
+            ior=jnp.asarray(ior),
             tex_diffuse=jnp.asarray(texd), tex_specular=jnp.asarray(texs),
             tex_emissive=jnp.asarray(texe), tex_bump=jnp.asarray(texb),
         )

@@ -44,6 +44,8 @@ class SceneData:
         self.diffuse = np.asarray(m.diffuse, np.float32)
         self.specular = np.asarray(m.specular, np.float32)
         self.emissive = np.asarray(m.emissive, np.float32)
+        self.transmission = np.asarray(m.transmission, np.float32)
+        self.ior = np.asarray(m.ior, np.float32)
         self.tex_diffuse = np.asarray(m.tex_diffuse)
         self.light_center = np.asarray(scene.lights.center, np.float32)
         self.light_radius = np.asarray(scene.lights.radius, np.float32)
@@ -190,8 +192,19 @@ def trace_ray(sd: SceneData, o, d, bounce_samples, cfg) -> np.ndarray:
 
         cos_dir = _cosine_hemisphere(n, u[2], u[3])
         if pass_through:
-            new_d = d
-            branch = np.ones(3)
+            # refraction through the interface (identity when ior == 1)
+            entering = float(np.dot(d, ns)) < 0.0
+            m_ior = float(sd.ior[mat])
+            eta = 1.0 / m_ior if entering else m_ior
+            cosi = float(np.dot(n, d))
+            k = 1.0 - eta * eta * (1.0 - cosi * cosi)
+            if k < 0.0:
+                new_d = d - 2.0 * float(np.dot(d, n)) * n   # TIR mirror
+            else:
+                new_d = eta * d - (eta * cosi + np.sqrt(k)) * n
+                new_d = _normalize(new_d)
+            tr = sd.transmission[mat, :3]
+            branch = tr if (tr > 0).any() else np.ones(3)
         elif choose_spec:
             refl = d - 2.0 * float(np.dot(d, n)) * n
             gloss = np.clip(roughness * u[4], 0.0, 1.0)

@@ -155,6 +155,8 @@ def _interpolate_surface(scene: Scene, hit: Hit, d):
         roughness=spec[:, 1],
         metallic=spec[:, 2],
         emissive=emissive,
+        transmission=mat.transmission[:, :3],
+        ior=mat.ior,
     )
 
 
@@ -231,11 +233,27 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig):
         spec_dir = pm.normalize(
             pm.mix(pm.reflect(d, n), cos_dir, gloss))
 
-        new_d = jnp.where(pass_through[:, None], d,
+        # Pass-through refracts through the interface (the reference's
+        # refraction() constructor, shadinglib.glsl:150-176): eta from
+        # entering/exiting the medium; with ior == 1 refract() reduces
+        # exactly to the straight-through continuation.  Total internal
+        # reflection falls back to the mirror direction.
+        entering = pm.dot(d, surf["shading_normal"]) < 0.0
+        eta = jnp.where(entering, 1.0 / surf["ior"], surf["ior"])
+        refr = pm.refract(d, n, eta[:, None])
+        tir = pm.dot(refr, refr) < 1e-12
+        safe_refr = pm.normalize(
+            jnp.where(tir[:, None], jnp.ones_like(refr), refr))
+        pass_dir = jnp.where(tir[:, None], pm.reflect(d, n), safe_refr)
+        trans_tint = jnp.where(
+            (surf["transmission"] > 0.0).any(-1, keepdims=True),
+            surf["transmission"], 1.0)
+
+        new_d = jnp.where(pass_through[:, None], pass_dir,
                           jnp.where(choose_spec[:, None], spec_dir,
                                     cos_dir))
         branch_beta = jnp.where(
-            pass_through[:, None], jnp.ones_like(beta),
+            pass_through[:, None], trans_tint,
             jnp.where(choose_spec[:, None],
                       jnp.clip(sc / jnp.maximum(spca, 1e-6)[:, None],
                                0.0, 1.0),

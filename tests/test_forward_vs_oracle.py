@@ -50,3 +50,33 @@ def test_cornell_not_black():
     img_jax, _ = _compare(cfg)
     assert img_jax.mean() > 1e-3, "render is black"
     assert np.isfinite(img_jax).all()
+
+
+def test_refractive_material_matches_oracle():
+    """Glass-ish material (ior 1.5, alpha 0.4, tinted transmission):
+    refraction path must match the oracle too."""
+    import dataclasses
+
+    scene = make_cornell_scene()
+    mats = scene.materials
+    mats = dataclasses.replace(
+        mats,
+        diffuse=mats.diffuse.at[3, 3].set(0.4),
+        transmission=mats.transmission.at[3, :3].set(
+            jax.numpy.asarray([0.9, 0.95, 1.0])),
+        ior=mats.ior.at[3].set(1.5))
+    scene = dataclasses.replace(scene, materials=mats)
+
+    cfg = RenderConfig(width=24, height=24, spp=1, max_bounces=3,
+                       intersector="brute")
+    cam_s, bounce_s = make_sample_arrays(
+        jax.random.key(11), cfg.n_rays, cfg.max_bounces)
+    img_jax = np.asarray(render_with_samples(scene, CAM, cfg,
+                                             cam_s, bounce_s))
+    from prismarine_core_tpu.reference.cpu_reference import (
+        render_reference)
+    img_ref = render_reference(scene, CAM, cfg, np.asarray(cam_s),
+                               np.asarray(bounce_s))
+    diff = np.abs(img_jax - img_ref)
+    assert (diff.max(axis=-1) > 1e-3).mean() < 0.02
+    assert np.isfinite(img_jax).all()
