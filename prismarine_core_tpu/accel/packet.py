@@ -458,12 +458,16 @@ def occluded_packet(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
 
 
 def intersect_closest_pallas(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
-                             o, d) -> Hit:
-    """Closest hit via the Pallas pair kernel (fast path)."""
+                             o, d, t_cap=None) -> Hit:
+    """Closest hit via the Pallas pair kernel (fast path).
+
+    ``t_cap`` (f32[R], optional): per-lane far limit; lanes with 0 are
+    culled out of the pair lists entirely (dead-lane compaction)."""
     sg = jax.lax.stop_gradient
+    if t_cap is None:
+        t_cap = jnp.full((o.shape[0],), INF_DIST)
     _, slot, _, _ = _run_packet_pallas(
-        sg(bvh), sg(ps), sg(o), sg(d),
-        jnp.full((o.shape[0],), INF_DIST), any_hit=False)
+        sg(bvh), sg(ps), sg(o), sg(d), sg(t_cap), any_hit=False)
     tri = jnp.where(slot >= 0, bvh.orig[jnp.maximum(slot, 0)], -1)
     tri = sg(tri)
 

@@ -42,8 +42,11 @@ from prismarine_core_tpu.utils import math as pm
 from prismarine_core_tpu.utils.config import GAP, INF_DIST, RenderConfig
 
 
-def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> Hit:
-    """Dispatch to the configured intersector."""
+def closest_hit(scene: Scene, o, d, cfg: RenderConfig,
+                t_cap=None) -> Hit:
+    """Dispatch to the configured intersector.  ``t_cap`` lets callers
+    zero out lanes whose result is unused (dead-lane compaction; only
+    the pallas path exploits it today)."""
     if cfg.intersector == "brute":
         return intersect_closest_brute(scene.triangles, o, d,
                                        block=cfg.tri_block)
@@ -61,9 +64,12 @@ def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> Hit:
         if scene.packets is None:
             raise ValueError("scene.packets is None — build with "
                              "scene.with_bvh()")
-        fn = (pk.intersect_closest_pallas if cfg.intersector == "pallas"
-              else pk.intersect_closest_packet)
-        return fn(scene.bvh, scene.packets, scene.triangles, o, d)
+        if cfg.intersector == "pallas":
+            return pk.intersect_closest_pallas(
+                scene.bvh, scene.packets, scene.triangles, o, d,
+                t_cap=t_cap)
+        return pk.intersect_closest_packet(scene.bvh, scene.packets,
+                                           scene.triangles, o, d)
     raise ValueError(f"unknown intersector {cfg.intersector!r}")
 
 
@@ -182,9 +188,15 @@ def _nee_contribution(scene: Scene, cfg: RenderConfig, p, n, ns_raw,
 
     shadow_o = p + ldir * GAP
     t_light = intersect_sphere(shadow_o, ldir, center, radius + GAP)
-    occ = occluded(scene, shadow_o, ldir, t_light, cfg)
     front = pm.dot(ns_raw, ldir) >= 0.0
-    vis = (~occ) & front & (t_light < INF_DIST)
+    # Lanes with zero potential contribution get t_cap = 0: the packet
+    # culling then produces no pairs for them, so the shadow query only
+    # pays for lanes that matter (the compaction analog of the
+    # reference's shadow rays being separate pool entries).
+    need = front & (weight > 0.0) & (diffuse_beta > 0.0).any(-1)
+    t_query = jnp.where(need, t_light, 0.0)
+    occ = occluded(scene, shadow_o, ldir, t_query, cfg)
+    vis = need & (~occ) & (t_light < INF_DIST)
     return jnp.where(vis[:, None],
                      diffuse_beta * weight[:, None] * lcolor, 0.0)
 
@@ -194,7 +206,8 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig):
 
     def step(carry, u):
         o, d, beta, radiance, alive = carry
-        hit = closest_hit(scene, o, d, cfg)
+        t_cap = jnp.where(alive, INF_DIST, 0.0)
+        hit = closest_hit(scene, o, d, cfg, t_cap=t_cap)
 
         miss = alive & hit.missed
         env = scene.environment.sample(d)
