@@ -52,10 +52,9 @@ class PacketSet:
 
     block_lo: jax.Array  # f32[B,3]
     block_hi: jax.Array  # f32[B,3]
-    #: superblock (4-block) AABBs — the Pallas culling granularity
-    sb_lo: jax.Array     # f32[B/4,3]
-    sb_hi: jax.Array     # f32[B/4,3]
-    #: f32[B, 16, BLOCK] component rows: v0xyz, e1xyz, e2xyz, valid, pad
+    #: f32[B+1, 16, BLOCK] component rows: v0xyz, e1xyz, e2xyz, valid,
+    #: pad; the extra trailing block is all-zero (the quad-padding
+    #: sentinel: valid=0 so it never hits)
     planes: jax.Array
     slot_orig: jax.Array  # i32[B*BLOCK] slot -> original triangle id
 
@@ -95,32 +94,16 @@ def build_packet_set(bvh: BVH) -> PacketSet:
 
     e1 = tv1 - tv0
     e2 = tv2 - tv0
-    # superblock boxes (empty blocks are +big point boxes: min keeps
-    # them neutral for lo only if all four are empty — recompute from
-    # the inverted form instead)
-    inv_lo = jnp.where((block_lo == big).all(-1, keepdims=True),
-                       big, block_lo)
-    inv_hi = jnp.where((block_hi == big).all(-1, keepdims=True),
-                       -big, block_hi)
-    nsb = nb // 4 if nb % 4 == 0 else -(-nb // 4)
-    sbpad = nsb * 4 - nb
-    if sbpad:
-        inv_lo = jnp.concatenate([inv_lo, jnp.full((sbpad, 3), big)])
-        inv_hi = jnp.concatenate([inv_hi, jnp.full((sbpad, 3), -big)])
-    sb_lo = inv_lo.reshape(nsb, 4, 3).min(axis=1)
-    sb_hi = inv_hi.reshape(nsb, 4, 3).max(axis=1)
-    sb_empty = (sb_lo > sb_hi).any(-1, keepdims=True)
-    sb_lo = jnp.where(sb_empty, big, sb_lo)
-    sb_hi = jnp.where(sb_empty, big, sb_hi)
-
     rows = [tv0[:, 0], tv0[:, 1], tv0[:, 2],
             e1[:, 0], e1[:, 1], e1[:, 2],
             e2[:, 0], e2[:, 1], e2[:, 2],
             (orig >= 0).astype(jnp.float32)]
     rows += [jnp.zeros_like(rows[0])] * (16 - len(rows))
     planes = jnp.stack([x.reshape(nb, bk) for x in rows], axis=1)
+    # trailing zero sentinel block for quad padding (valid row = 0)
+    planes = jnp.concatenate(
+        [planes, jnp.zeros((1, 16, bk), jnp.float32)])
     return PacketSet(block_lo=block_lo, block_hi=block_hi,
-                     sb_lo=sb_lo, sb_hi=sb_hi,
                      planes=planes, slot_orig=orig)
 
 
@@ -331,12 +314,55 @@ def _build_pairs(overlap):
     return pair_tile, pair_block, total
 
 
+def _build_quads(overlap):
+    """Chunk each tile's culled-block list into quads of 4.
+
+    overlap: bool[nt, nb].  Returns (quad_tile i32[Lq],
+    quad_blocks i32[Lq, 4], n_quads) with static Lq = nt * ceil(nb/4);
+    padded quads target tile nt / the sentinel block nb.
+    """
+    nt, nb = overlap.shape
+    nq_tile = -(-nb // 4)
+    lq = nt * nq_tile
+
+    # per-tile ordered candidate list (culled blocks first, ascending)
+    keys = (~overlap).astype(jnp.int32)
+    blk_ids = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32), (nt, nb))
+    _, blk_list = jax.lax.sort((keys, blk_ids), dimension=1, num_keys=1,
+                               is_stable=True)
+    counts = overlap.sum(axis=1).astype(jnp.int32)          # [nt]
+    qc = -(-counts // 4)                                    # quads/tile
+
+    # compact (tile, m) quad slots tile-major
+    mask = (jnp.arange(nq_tile, dtype=jnp.int32)[None, :]
+            < qc[:, None]).reshape(-1)
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    n_quads = pos[-1] + 1
+    tile_of = jnp.arange(lq, dtype=jnp.int32) // nq_tile
+    m_of = jnp.arange(lq, dtype=jnp.int32) % nq_tile
+    target = jnp.where(mask, pos, lq)
+    quad_tile = jnp.full((lq + 1,), nt, jnp.int32).at[target].set(
+        tile_of, mode="drop")[:lq]
+    quad_m = jnp.zeros((lq + 1,), jnp.int32).at[target].set(
+        m_of, mode="drop")[:lq]
+
+    # block ids per quad (sentinel nb where past the tile's count)
+    k = jnp.arange(4, dtype=jnp.int32)[None, :]
+    idx = quad_m[:, None] * 4 + k                            # [Lq, 4]
+    in_range = idx < counts[jnp.minimum(quad_tile, nt - 1)][:, None]
+    safe_t = jnp.minimum(quad_tile, nt - 1)
+    qb = blk_list[safe_t[:, None], jnp.minimum(idx, nb - 1)]
+    qb = jnp.where(in_range & (quad_tile < nt)[:, None], qb, nb)
+    return quad_tile, qb, n_quads
+
+
 def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
-                       any_hit: bool, window: int = 4096):
-    """Pallas fast path: sort+tile rays, cull blocks, run the windowed
-    pair kernel (ops/pallas_intersect.py), unsort."""
+                       any_hit: bool, window: int = 2048):
+    """Pallas fast path: sort+tile rays, cull blocks per ray, chunk
+    into quads, run the windowed quad kernel
+    (ops/pallas_intersect.py), unsort."""
     from prismarine_core_tpu.ops.pallas_intersect import (
-        pallas_pair_intersect_windowed)
+        pallas_quad_intersect_windowed)
 
     r = o.shape[0]
     keys = _ray_sort_keys(bvh.lo[0], bvh.hi[0], o, d)
@@ -359,11 +385,11 @@ def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
     dt = d.reshape(nt, TILE, 3)
     tct = t_cap.reshape(nt, TILE)
 
-    # exact per-ray culling at SUPERBLOCK granularity (the step unit)
-    overlap = _per_ray_tile_overlap(ot, dt, tct, ps.sb_lo, ps.sb_hi)
+    # exact per-ray culling at BLOCK granularity
+    overlap = _per_ray_tile_overlap(ot, dt, tct, ps.block_lo,
+                                    ps.block_hi)
     counts = overlap.sum(axis=1).astype(jnp.int32)
-
-    pair_tile, pair_block, n_real = _build_pairs(overlap)
+    quad_tile, quad_blocks, n_quads = _build_quads(overlap)
 
     # rays layout [(nt+1)*TILE, 8]: component columns + one padding tile
     rays = jnp.zeros((nt + 1, TILE, 8), jnp.float32)
@@ -376,16 +402,17 @@ def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
     rays = rays.at[:nt, :, 6].set(tct)
     rays = rays.reshape((nt + 1) * TILE, 8)
 
-    # pad the pair list to a window multiple so dynamic_slice never clamps
-    window = min(window, int(pair_tile.shape[0]))
-    wpad = (-int(pair_tile.shape[0])) % window
+    # pad the quad list to a window multiple so dynamic_slice never clamps
+    nb = ps.n_blocks
+    window = min(window, int(quad_tile.shape[0]))
+    wpad = (-int(quad_tile.shape[0])) % window
     if wpad:
-        pair_tile = jnp.concatenate(
-            [pair_tile, jnp.full((wpad,), nt, jnp.int32)])
-        pair_block = jnp.concatenate(
-            [pair_block, jnp.zeros((wpad,), jnp.int32)])
-    out = pallas_pair_intersect_windowed(
-        pair_tile, pair_block, n_real, rays, ps.planes, window=window,
+        quad_tile = jnp.concatenate(
+            [quad_tile, jnp.full((wpad,), nt, jnp.int32)])
+        quad_blocks = jnp.concatenate(
+            [quad_blocks, jnp.full((wpad, 4), nb, jnp.int32)])
+    out = pallas_quad_intersect_windowed(
+        quad_tile, quad_blocks, n_quads, rays, ps.planes, window=window,
         any_hit=any_hit)
     out = out.reshape(nt + 1, TILE, 8)[:nt]
     t = out[:, :, 0]

@@ -1,35 +1,34 @@
-"""Pallas TPU kernel: dense (ray-tile x triangle-block) intersection.
+"""Pallas TPU kernel: dense (ray-tile x triangle-block-quad) intersection.
 
-The hot op of the framework.  The XLA packet path (accel/packet.py)
-expresses the same math but materializes [tiles, 128, 128] intermediates
-through HBM; this kernel keeps one 128-ray tile and one 128-triangle
-block in VMEM per grid step and accumulates the per-tile closest hit
-in-place, so HBM traffic is just the pair stream (~12 KB/step DMA,
-pipelined by Pallas) instead of gigabytes of broadcast temporaries.
+The hot op of the framework.  Pointer-chasing BVH walks are
+latency-bound on TPU (every step is a ~4 B/lane random HBM gather); this
+kernel restructures intersection as dense batched work: one 128-ray tile
+against four 128-triangle blocks per grid step, everything in VMEM.
 
 Layouts (all Mosaic-legal block shapes):
   rays   f32[(nt+1)*TILE, 8]  — block (TILE, 8); component columns
          [ox oy oz dx dy dz t_cap pad]; rays land on sublanes.
-  tris   f32[nb, 16, BLOCK]   — block (1, 16, BLOCK); component rows
-         [v0x v0y v0z e1x e1y e1z e2x e2y e2z valid 0...]; triangles
-         land on lanes.
+  tris   f32[window, 4, 16, BLOCK] — per-window *gathered* quads of
+         blocks (XLA gathers 32 KB contiguous slices per quad at HBM
+         bandwidth); component rows [v0xyz e1xyz e2xyz valid 0...];
+         triangles land on lanes.
   out    f32[(nt+1)*TILE, 8]  — block (TILE, 8); columns
          [t slot u v 0...] (slot is an int32 BITCAST into the f32
          column; Mosaic has no int<->float converts on this path).
-The hot math is [TILE, BLOCK] = [128, 128] f32, the exact VPU register
-shape, written component-wise (the 128-wide generalization of the
+
+The hot math is [TILE, BLOCK] = [128, 128] f32 — the exact VPU register
+shape — written component-wise (the 128-wide generalization of the
 reference's 2-wide packed Möller–Trumbore, ``vertex.glsl:117-189``).
 
-Scheduling: the caller compacts the conservative tile/block overlap
-matrix into a pair list sorted by tile.  `PrefetchScalarGridSpec` makes
-the pair arrays available before each grid step so BlockSpec index_maps
-DMA the right ray tile / triangle block (the guide's scalar-prefetch
-pattern).  Pairs of the same tile are consecutive, so the output block
-stays resident in VMEM across them; `first_pair` flags initialize it.
-
-The grid is sequential on a TPU core — in-place accumulation across
-grid steps is race-free by construction (the reference needs warp-level
-atomics for the same job, ``ballotlib.glsl:106-132``).
+Scheduling: the caller culls blocks per ray (exactly), chunks each
+tile's candidate list into quads, and streams quads tile-major.
+`PrefetchScalarGridSpec` provides per-step tile ids / block ids /
+first-of-tile flags; pairs of the same tile are consecutive, so the
+output block stays VMEM-resident and accumulates the running closest
+hit across steps (sequential grid => race-free, no atomics — the
+reference needs warp-aggregated atomics for the same job,
+``ballotlib.glsl:106-132``).  Windows of quads execute inside a
+while_loop so cost adapts to the scene without recompilation.
 """
 
 from __future__ import annotations
@@ -45,6 +44,7 @@ from prismarine_core_tpu.utils.config import INF_DIST, PZERO
 
 TILE = 128
 BLOCK = 128
+QUAD = 4
 _DET_EPS = 1e-10
 
 # ray component columns
@@ -56,15 +56,9 @@ RC_OX, RC_OY, RC_OZ, RC_DX, RC_DY, RC_DZ, RC_TCAP, _RC_PAD = range(8)
 OC_T, OC_SLOT, OC_U, OC_V = range(4)
 
 
-#: triangle blocks processed per grid step (one "superblock") — bigger
-#: steps amortize the per-step grid/DMA overhead that dominated at one
-#: block per step.
-QUAD = 4
-
-
-def _pair_kernel(pair_tile, pair_block, first_pair,
+def _quad_kernel(pair_tile, b0, b1, b2, b3, first_pair,
                  ray_ref,                             # [TILE, 8]
-                 tri_ref,                             # [QUAD, 16, BLOCK]
+                 tri_ref,                             # [1, QUAD, 16, BLOCK]
                  prior_ref,                           # [TILE, 8]
                  out_ref):                            # [TILE, 8]
     i = pl.program_id(0)
@@ -99,10 +93,11 @@ def _pair_kernel(pair_tile, pair_block, first_pair,
     u_best = out_ref[:, OC_U]
     v_best = out_ref[:, OC_V]
     cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, BLOCK), 1)
+    bases = (b0, b1, b2, b3)
 
     for q in range(QUAD):
         def trow(c):
-            return tri_ref[q, c, :][None, :]
+            return tri_ref[0, q, c, :][None, :]
 
         e1x, e1y, e1z = trow(TC_E1X), trow(TC_E1Y), trow(TC_E1Z)
         e2x, e2y, e2z = trow(TC_E2X), trow(TC_E2Y), trow(TC_E2Z)
@@ -136,7 +131,7 @@ def _pair_kernel(pair_tile, pair_block, first_pair,
         uj = jnp.sum(jnp.where(sel, uu, 0.0), axis=1)
         vj = jnp.sum(jnp.where(sel, vv, 0.0), axis=1)
 
-        base = (pair_block[i] * QUAD + q) * BLOCK
+        base = bases[q][i] * BLOCK
         best = jnp.where(better, tj, best)
         slot_best = jnp.where(better, base + j, slot_best)
         u_best = jnp.where(better, uj, u_best)
@@ -152,51 +147,51 @@ def _pair_kernel(pair_tile, pair_block, first_pair,
 
 
 @partial(jax.jit, static_argnames=("window", "any_hit"))
-def pallas_pair_intersect_windowed(
-    pair_tile, pair_block,   # i32[L] full pair list, tile-major; padding
-                             # pairs target tile nt (the dummy row);
-                             # pair_block is in SUPERBLOCK (QUAD) units
-    n_real: jax.Array,       # i32[] number of real pairs
+def pallas_quad_intersect_windowed(
+    quad_tile,               # i32[L] quad list, tile-major; pad -> nt
+    quad_blocks,             # i32[L, QUAD] block ids (pad -> sentinel)
+    n_real: jax.Array,       # i32[] number of real quads
     rays,                    # f32[(nt+1)*TILE, 8]
-    tris,                    # f32[nb, 16, BLOCK], nb % QUAD == 0
-    window: int = 4096,
+    planes,                  # f32[nb+1, 16, BLOCK] (last = sentinel)
+    window: int = 2048,
     any_hit: bool = False,
 ):
-    """Exact pair execution: while_loop over fixed-size pair windows,
-    each one `pallas_call` over the window grid; per-tile bests carry
-    across windows through the prior-input/first-flag handoff.  No pair
-    budget, no dropped work — the while trip count adapts to the scene
-    (total pairs / window) without recompilation.
+    """Exact quad execution: while_loop over fixed-size quad windows.
 
-    Returns f32[(nt+1)*TILE, 8] columns [t, slot(bitcast i32), u, v,..].
+    Each window gathers its quads' triangle planes (contiguous 8 KB
+    slices — HBM-bandwidth friendly) into a [window, 4, 16, BLOCK]
+    stream the kernel consumes one step at a time; per-tile bests carry
+    across windows via the prior-input/first-flag handoff, and tiles
+    untouched in a window are merged back from the carry.
     """
     n_rows = rays.shape[0]
     n_tiles_pad = n_rows // TILE - 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=6,
         grid=(window,),
         in_specs=[
             pl.BlockSpec((TILE, 8),
-                         lambda i, pt, pb, fp: (pt[i], 0),
+                         lambda i, pt, b0, b1, b2, b3, fp: (pt[i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((QUAD, 16, BLOCK),
-                         lambda i, pt, pb, fp: (pb[i], 0, 0),
+            pl.BlockSpec((1, QUAD, 16, BLOCK),
+                         lambda i, pt, b0, b1, b2, b3, fp: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 8),
-                         lambda i, pt, pb, fp: (pt[i], 0),
+                         lambda i, pt, b0, b1, b2, b3, fp: (pt[i], 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, 8),
-                               lambda i, pt, pb, fp: (pt[i], 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (TILE, 8),
+            lambda i, pt, b0, b1, b2, b3, fp: (pt[i], 0),
+            memory_space=pltpu.VMEM),
     )
 
     # CPU (tests / virtual mesh) has no Mosaic — fall back to the
     # interpreter there; real TPU compiles the kernel.
     interpret = jax.default_backend() == "cpu"
     call = pl.pallas_call(
-        _pair_kernel,
+        _quad_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, 8), jnp.float32),
         interpret=interpret,
@@ -222,15 +217,17 @@ def pallas_pair_intersect_windowed(
 
     def body(state):
         start, out = state
-        pt = jax.lax.dynamic_slice(pair_tile, (start,), (window,))
-        pb = jax.lax.dynamic_slice(pair_block, (start,), (window,))
-        # mask pairs beyond the real count to the padding tile
+        pt = jax.lax.dynamic_slice(quad_tile, (start,), (window,))
+        qb = jax.lax.dynamic_slice(quad_blocks, (start, 0),
+                                   (window, QUAD))
         live = (start + jnp.arange(window, dtype=jnp.int32)) < n_real
         pt = jnp.where(live, pt, n_tiles_pad)
         fp = jnp.concatenate([
             jnp.ones((1,), jnp.int32),
             (pt[1:] != pt[:-1]).astype(jnp.int32)])
-        res = call(pt, pb, fp, rays, tris, out)
+        tris_w = planes[qb]          # [window, QUAD, 16, BLOCK] gather
+        res = call(pt, qb[:, 0], qb[:, 1], qb[:, 2], qb[:, 3], fp,
+                   rays, tris_w, out)
         # output blocks of tiles NOT visited this window are undefined —
         # keep the carried values there.
         visited = jnp.zeros((n_tiles_pad + 1,), bool).at[pt].set(True)
