@@ -214,10 +214,13 @@ def trace_ray(sd: SceneData, o, d, bounce_samples, cfg) -> np.ndarray:
             new_d = cos_dir
             branch = albedo
 
-        # NEE from the diffuse branch, light 0.
-        if cfg.direct_light and choose_diff and len(sd.light_center) > 0:
-            center = sd.light_center[0]
-            radius = float(sd.light_radius[0])
+        # NEE from the diffuse branch, one uniformly chosen light.
+        n_lights = len(sd.light_center)
+        if cfg.direct_light and choose_diff and n_lights > 0:
+            li = min(int(u[7] * n_lights), n_lights - 1)
+            center = sd.light_center[li]
+            radius = float(sd.light_radius[li])
+            lcolor = sd.light_color[li] * n_lights
             pt = center + radius * _uniform_sphere(u[5], u[6])
             ldir = _normalize(pt - p)
             dist = float(np.linalg.norm(center - p))
@@ -226,7 +229,7 @@ def trace_ray(sd: SceneData, o, d, bounce_samples, cfg) -> np.ndarray:
             t_light = _intersect_sphere(so, ldir, center, radius + GAP)
             if (t_light < INF and np.dot(ns, ldir) >= 0
                     and not _occluded(sd, so, ldir, t_light)):
-                radiance += (beta * albedo * weight * sd.light_color[0])
+                radiance += (beta * albedo * weight * lcolor)
 
         beta = beta * branch
         o = p + new_d * GAP

@@ -168,18 +168,25 @@ def _interpolate_surface(scene: Scene, hit: Hit, d):
 
 def _nee_contribution(scene: Scene, cfg: RenderConfig, p, n, ns_raw,
                       diffuse_beta, u):
-    """Next-event estimation toward sphere light 0.
+    """Next-event estimation toward one uniformly chosen sphere light.
 
     Mirrors ``directLight`` + ``applyLight`` (``shadinglib.glsl:75-93,
     181-189``): sample a point *inside* the light sphere, weight by the
     samplingWeight heuristic, gate on the un-faceforwarded normal, test
     occlusion against scene geometry vs the analytic sphere hit.
+    Extends the reference (which only ever samples light 0,
+    ``rayshading.comp:270``): with L lights one is chosen per sample
+    from the reserved uniform and weighted by L (unbiased); L == 1
+    reduces to the reference behavior exactly.
     """
-    center = scene.lights.center[0]
-    radius = scene.lights.radius[0]
-    lcolor = scene.lights.color[0]
+    n_lights = scene.lights.count
+    li = jnp.clip((u[:, smp.S_RESERVED] * n_lights).astype(jnp.int32),
+                  0, n_lights - 1)
+    center = scene.lights.center[li]
+    radius = scene.lights.radius[li]
+    lcolor = scene.lights.color[li] * float(n_lights)
 
-    sphere_pt = center + radius * smp.uniform_sphere(
+    sphere_pt = center + radius[:, None] * smp.uniform_sphere(
         u[:, smp.S_LIGHT1], u[:, smp.S_LIGHT2])
     lpath = sphere_pt - p
     ldir = pm.normalize(lpath)
