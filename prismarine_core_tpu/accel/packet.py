@@ -320,39 +320,44 @@ def _build_quads(overlap):
     overlap: bool[nt, nb].  Returns (quad_tile i32[Lq],
     quad_blocks i32[Lq, 4], n_quads) with static Lq = nt * ceil(nb/4);
     padded quads target tile nt / the sentinel block nb.
+
+    Sort-free: per-row cumsum ranks each hit block within its tile and a
+    single flat scatter drops block ids into their quad slots (the
+    ranking a GPU gets from warp ballot+popcount, ``ballotlib.glsl:
+    106-132``, done as two linear passes instead of the [nt, nb] sort
+    this used to do — the sort was the single hottest op of a query).
     """
     nt, nb = overlap.shape
     nq_tile = -(-nb // 4)
     lq = nt * nq_tile
 
-    # per-tile ordered candidate list (culled blocks first, ascending)
-    keys = (~overlap).astype(jnp.int32)
-    blk_ids = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32), (nt, nb))
-    _, blk_list = jax.lax.sort((keys, blk_ids), dimension=1, num_keys=1,
-                               is_stable=True)
-    counts = overlap.sum(axis=1).astype(jnp.int32)          # [nt]
-    qc = -(-counts // 4)                                    # quads/tile
+    # rank of each hit block within its tile row
+    pos = jnp.cumsum(overlap.astype(jnp.int32), axis=1) - 1  # [nt, nb]
+    counts = pos[:, -1] + 1                                  # [nt]
 
-    # compact (tile, m) quad slots tile-major
+    # scatter block ids straight into [lq, 4] quad slots (tile-major)
+    tile_idx = jnp.arange(nt, dtype=jnp.int32)[:, None]
+    flat_dest = ((tile_idx * nq_tile + pos // 4) * 4 + pos % 4)
+    flat_dest = jnp.where(overlap, flat_dest, lq * 4)        # drop misses
+    blk_ids = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32), (nt, nb))
+    qb_all = jnp.full((lq * 4 + 1,), nb, jnp.int32).at[
+        flat_dest.reshape(-1)].set(blk_ids.reshape(-1),
+                                   mode="drop")[:lq * 4].reshape(lq, 4)
+
+    # compact used (tile, m) quad slots to the front, tile-major
+    qc = -(-counts // 4)                                     # quads/tile
     mask = (jnp.arange(nq_tile, dtype=jnp.int32)[None, :]
             < qc[:, None]).reshape(-1)
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    n_quads = pos[-1] + 1
+    cpos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    n_quads = cpos[-1] + 1
+    target = jnp.where(mask, cpos, lq)
     tile_of = jnp.arange(lq, dtype=jnp.int32) // nq_tile
-    m_of = jnp.arange(lq, dtype=jnp.int32) % nq_tile
-    target = jnp.where(mask, pos, lq)
     quad_tile = jnp.full((lq + 1,), nt, jnp.int32).at[target].set(
         tile_of, mode="drop")[:lq]
-    quad_m = jnp.zeros((lq + 1,), jnp.int32).at[target].set(
-        m_of, mode="drop")[:lq]
-
-    # block ids per quad (sentinel nb where past the tile's count)
-    k = jnp.arange(4, dtype=jnp.int32)[None, :]
-    idx = quad_m[:, None] * 4 + k                            # [Lq, 4]
-    in_range = idx < counts[jnp.minimum(quad_tile, nt - 1)][:, None]
-    safe_t = jnp.minimum(quad_tile, nt - 1)
-    qb = blk_list[safe_t[:, None], jnp.minimum(idx, nb - 1)]
-    qb = jnp.where(in_range & (quad_tile < nt)[:, None], qb, nb)
+    slot_of = jnp.arange(lq, dtype=jnp.int32)
+    quad_slot = jnp.zeros((lq + 1,), jnp.int32).at[target].set(
+        slot_of, mode="drop")[:lq]
+    qb = jnp.where((quad_tile < nt)[:, None], qb_all[quad_slot], nb)
     return quad_tile, qb, n_quads
 
 

@@ -194,6 +194,10 @@ def pallas_quad_intersect_windowed(
         _quad_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, 8), jnp.float32),
+        # prior (input 8 = 6 scalar-prefetch + rays + tris + prior)
+        # aliases the output: tiles untouched by a window keep their
+        # carried values in place, so the driver needs no merge pass.
+        input_output_aliases={8: 0},
         interpret=interpret,
     )
 
@@ -226,13 +230,8 @@ def pallas_quad_intersect_windowed(
             jnp.ones((1,), jnp.int32),
             (pt[1:] != pt[:-1]).astype(jnp.int32)])
         tris_w = planes[qb]          # [window, QUAD, 16, BLOCK] gather
-        res = call(pt, qb[:, 0], qb[:, 1], qb[:, 2], qb[:, 3], fp,
+        out = call(pt, qb[:, 0], qb[:, 1], qb[:, 2], qb[:, 3], fp,
                    rays, tris_w, out)
-        # output blocks of tiles NOT visited this window are undefined —
-        # keep the carried values there.
-        visited = jnp.zeros((n_tiles_pad + 1,), bool).at[pt].set(True)
-        vrows = jnp.repeat(visited, TILE)[:, None]
-        out = jnp.where(vrows, res, out)
         return start + window, out
 
     _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), init_out))
