@@ -1,10 +1,9 @@
-"""Stage-level breakdown of the Pallas packet query + full frame.
+"""Stage-level breakdown of the fused Pallas packet query + full frame.
 
-Answers VERDICT item 1(a): where do the 3,707 ms/frame go?
-Times each stage of `_run_packet_pallas` separately (sort, per-ray cull,
-quad build, windowed kernel) on both coherent camera rays and incoherent
-bounce-style rays, reports cull statistics (blocks/ray, quads/query), and
-times one full frame for cross-checking.
+Times each stage of `_run_packet_pallas` separately (sort, dense
+superblock cull, pair compaction, fused kernel) on both coherent camera
+rays and incoherent bounce-style rays, reports cull statistics
+(superblocks/tile, pairs/query), and times one full frame.
 
 Run on the real TPU: `python examples/profile_breakdown.py [n_tris]`.
 """
@@ -32,7 +31,7 @@ def timeit(fn, *args, n=3, label=""):
         out = fn(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n * 1e3
-    print(f"  {label:<42s} {dt:9.2f} ms")
+    print(f"  {label:<42s} {dt:9.2f} ms", flush=True)
     return out, dt
 
 
@@ -49,7 +48,7 @@ def main():
                                          cfg.max_bounces)
     print(f"tris={int(scene.triangles.num_valid())} "
           f"bvh_nodes={bvh.n_nodes} blocks={ps.n_blocks} "
-          f"rays={cfg.n_rays}")
+          f"superblocks={ps.n_superblocks} rays={cfg.n_rays}", flush=True)
 
     o, d = generate_rays(camera, cfg, cam_s)
     t_cap = jnp.full((o.shape[0],), INF_DIST)
@@ -64,68 +63,42 @@ def main():
 
     for name, (oo, dd) in [("coherent(camera)", (o, d)),
                            ("incoherent(bounce-like)", (hit_p, d_inc))]:
-        print(f"\n=== {name} ===")
+        print(f"\n=== {name} ===", flush=True)
         r = oo.shape[0]
 
         @jax.jit
-        def sort_stage(oo, dd):
-            keys = pk._ray_sort_keys(bvh.lo[0], bvh.hi[0], oo, dd)
-            iota = jnp.arange(r, dtype=jnp.int32)
-            _, perm = jax.lax.sort((keys, iota), num_keys=1)
-            return oo[perm], dd[perm], perm
+        def sort_stage(oo, dd, tc):
+            return pk._sort_pad_rays(bvh, oo, dd, tc)
 
-        (os_, ds_, perm), _ = timeit(sort_stage, oo, dd, label="ray sort")
-        pad = (-r) % pk.TILE
-        rp = r + pad
-        nt = rp // pk.TILE
-        ot = jnp.pad(os_, ((0, pad), (0, 0))).reshape(nt, pk.TILE, 3)
-        dt_ = jnp.pad(ds_, ((0, pad), (0, 0)),
-                      constant_values=1.0).reshape(nt, pk.TILE, 3)
-        tct = jnp.pad(t_cap, (0, pad)).reshape(nt, pk.TILE)
+        (os_, ds_, tc_, _, _), _ = timeit(sort_stage, oo, dd, t_cap,
+                                          label="ray sort+pad")
+        nt = os_.shape[0] // pk.TILE
+        ot = os_.reshape(nt, pk.TILE, 3)
+        dt_ = ds_.reshape(nt, pk.TILE, 3)
+        tct = tc_.reshape(nt, pk.TILE)
+        inv = pk._safe_inv(dt_)
 
         @jax.jit
-        def cull_stage(ot, dt_, tct):
-            return pk._per_ray_tile_overlap(ot, dt_, tct,
-                                            ps.block_lo, ps.block_hi)
+        def cull_stage(ot, inv, tct):
+            return pk._per_ray_tile_overlap(ot, inv, tct,
+                                            ps.sb_lo, ps.sb_hi)
 
-        overlap, _ = timeit(cull_stage, ot, dt_, tct,
-                            label="per-ray x all-blocks cull")
+        sb_mask, _ = timeit(cull_stage, ot, inv, tct,
+                            label="dense superblock cull")
 
         @jax.jit
-        def quad_stage(overlap):
-            return pk._build_quads(overlap)
+        def pair_stage(sb_mask):
+            return pk._compact_pairs(sb_mask, ps.n_superblocks)
 
-        (qt, qb, nq), _ = timeit(quad_stage, overlap, label="build quads")
+        (pt, psb, npairs), _ = timeit(pair_stage, sb_mask,
+                                      label="pair compaction")
 
-        counts = overlap.sum(axis=1)
-        print(f"  blocks/tile: mean={float(counts.mean()):.1f} "
+        counts = sb_mask.sum(axis=1)
+        print(f"  sbs/tile: mean={float(counts.mean()):.1f} "
               f"p50={float(jnp.percentile(counts, 50)):.0f} "
               f"p99={float(jnp.percentile(counts, 99)):.0f} "
-              f"max={int(counts.max())} of {ps.n_blocks}")
-        print(f"  n_quads={int(nq)}  "
-              f"(tri-tests/ray = {float(nq)*4*128/r:.0f})")
-
-        # kernel alone, with quads precomputed
-        rays = jnp.zeros((nt + 1, pk.TILE, 8), jnp.float32)
-        rays = rays.at[:nt, :, 0:3].set(ot)
-        rays = rays.at[:nt, :, 3:6].set(dt_)
-        rays = rays.at[:nt, :, 6].set(tct)
-        rays = rays.reshape((nt + 1) * pk.TILE, 8)
-        window = min(2048, int(qt.shape[0]))
-        wpad = (-int(qt.shape[0])) % window
-        qt_p = jnp.concatenate([qt, jnp.full((wpad,), nt, jnp.int32)])
-        qb_p = jnp.concatenate(
-            [qb, jnp.full((wpad, 4), ps.n_blocks, jnp.int32)])
-
-        from prismarine_core_tpu.ops.pallas_intersect import (
-            pallas_quad_intersect_windowed)
-
-        def kernel_stage(qt_p, qb_p, nq, rays):
-            return pallas_quad_intersect_windowed(
-                qt_p, qb_p, nq, rays, ps.planes, window=window,
-                any_hit=False)
-
-        timeit(kernel_stage, qt_p, qb_p, nq, rays, label="windowed quad kernel")
+              f"max={int(counts.max())} of {ps.n_superblocks}; "
+              f"n_pairs={int(npairs)}", flush=True)
 
         @jax.jit
         def full_query(oo, dd, t_cap):
@@ -133,7 +106,14 @@ def main():
 
         timeit(full_query, oo, dd, t_cap, label="full closest-hit query")
 
-    print("\n=== full frame ===")
+        @jax.jit
+        def shadow_query(oo, dd, t_cap):
+            return pk._run_packet_pallas(bvh, ps, oo, dd, t_cap, True)
+
+        timeit(shadow_query, oo, dd,
+               jnp.full((r,), 30.0), label="full any-hit query")
+
+    print("\n=== full frame ===", flush=True)
 
     def frame():
         return render_with_samples(scene, camera, cfg, cam_s, bounce_s)

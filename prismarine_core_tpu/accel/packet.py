@@ -1,27 +1,31 @@
-"""Packet (tile x block) intersector — the dense, TPU-shaped fast path.
+"""Packet (tile x superblock) intersector — the dense, TPU-shaped fast path.
 
 The skip-link walk (accel/traverse.py) is correct but latency-bound: every
 step is a data-dependent gather of ~4 bytes/lane from HBM, which TPUs
 execute at a tiny fraction of streaming bandwidth.  This module replaces
 pointer-chasing with dense compute, the classic packet-tracing idea
-re-shaped for the VPU/MXU:
+re-shaped for the VPU:
 
-1. rays sort by (direction octant, origin Morton) and group into TILES of
-   128 contiguous rays (the analog of the reference's optional ray
-   sorting, ``Pipeline.hpp:101``, taken to its logical end);
+1. rays sort by (direction octant, origin Morton, direction Morton) and
+   group into TILES of 128 contiguous rays (the analog of the reference's
+   optional ray sorting, ``Pipeline.hpp:101``, taken to its logical end);
 2. triangles are already Morton-sorted by the BVH build; consecutive runs
-   of 128 slots form BLOCKS with precomputed AABBs (a coarse level of the
-   same implicit tree);
-3. a conservative interval-arithmetic slab test culls [tiles x blocks]
-   densely — one vectorized op, no tree walk at all;
-4. surviving (tile, block) pairs run dense 128x128 Möller–Trumbore with
-   *contiguous* ray and triangle loads, scheduled as a while_loop over
-   each tile's m-th overlapping block (trip count = max blocks/tile, a
-   data-dependent scalar — no recompilation);
-5. per-ray closest hits fold across blocks, then unsort.
+   of 128 slots form BLOCKS and runs of SB=8 blocks form SUPERBLOCKS with
+   precomputed AABBs (two coarse levels of the same implicit tree);
+3. an exact dense cull slab-tests every ray against every *superblock*
+   (nb/8 columns) and OR-reduces per tile — O(R * nsb), an order cheaper
+   than the r1 per-ray x per-block cull;
+4. surviving (tile, superblock) pairs compact into a tile-major list
+   (one cumsum + scatter) and stream through the fused Pallas kernel
+   (ops/pallas_intersect.py), which finishes the cull at block
+   granularity IN KERNEL (slab test vs the 8 block boxes, per-ray
+   pruned against the running closest t) and Möller–Trumbore-tests only
+   the sub-blocks some ray overlaps;
+5. per-ray closest hits fold across pairs in the kernel's VMEM
+   accumulator, then unsort.
 
 Every memory access is a contiguous 128-row slice; all hot math is dense
-[tile, block] broadcasting that XLA fuses into the block-min reduction.
+broadcasting that XLA/Mosaic fuse into the block-min reduction.
 """
 
 from __future__ import annotations
@@ -39,35 +43,52 @@ from prismarine_core_tpu.utils.config import INF_DIST, PZERO
 
 TILE = 128      # rays per tile
 BLOCK = 128     # triangle slots per block
+SB = 8          # blocks per superblock (dense-cull granularity)
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PacketSet:
-    """Block-level view over the BVH's Morton-sorted triangle slots.
+    """Block/superblock-level view over the BVH's Morton-sorted triangle
+    slots.
 
-    Includes SoA component planes of the sorted triangles (positions +
-    precomputed edges) shaped [nb, BLOCK] — the exact VMEM layout the
-    Pallas pair kernel consumes (ops/pallas_intersect.py)."""
+    ``planes`` holds SoA component planes of the sorted triangles
+    (positions + precomputed edges) in superblock-contiguous layout —
+    the exact VMEM stream the fused Pallas kernel consumes
+    (ops/pallas_intersect.py).  The block count pads to a multiple of
+    SB; padding blocks carry far-point AABBs (never pass a slab test)
+    and invalid planes."""
 
     block_lo: jax.Array  # f32[B,3]
     block_hi: jax.Array  # f32[B,3]
-    #: f32[B+1, 16, BLOCK] component rows: v0xyz, e1xyz, e2xyz, valid,
-    #: pad; the extra trailing block is all-zero (the quad-padding
-    #: sentinel: valid=0 so it never hits)
+    sb_lo: jax.Array     # f32[B/SB,3] superblock AABB min
+    sb_hi: jax.Array     # f32[B/SB,3]
+    #: f32[B/SB + 1, 16, SB*BLOCK] component rows: v0xyz, e1xyz, e2xyz,
+    #: valid, pad; sub-block k on lanes [128k, 128k+128).  The trailing
+    #: superblock is all-zero (the pair-padding sentinel: valid=0).
     planes: jax.Array
+    #: f32[B/SB + 1, 8, 8] per-block AABBs [lo3 hi3 0 0] for the
+    #: in-kernel cull; sentinel superblock = far boxes.
+    boxes: jax.Array
     slot_orig: jax.Array  # i32[B*BLOCK] slot -> original triangle id
 
     @property
     def n_blocks(self) -> int:
         return self.block_lo.shape[0]
 
+    @property
+    def n_superblocks(self) -> int:
+        return self.sb_lo.shape[0]
+
 
 def build_packet_set(bvh: BVH) -> PacketSet:
-    """Block AABBs + SoA triangle planes (build-time, fully jittable)."""
+    """Block/superblock AABBs + SoA triangle planes (build-time, fully
+    jittable)."""
     s = bvh.tv0.shape[0]
     bk = BLOCK
-    nb = max(-(-s // bk), 1)
+    assert s % bk == 0, "slot count must be a multiple of BLOCK (lbvh pads)"
+    nb = -(-(s // bk) // SB) * SB   # pad block count to superblock size
+    nsb = nb // SB
     pad = nb * bk - s
     big = jnp.float32(EMPTY_BOX)
 
@@ -92,6 +113,11 @@ def build_packet_set(bvh: BVH) -> PacketSet:
     block_lo = jnp.where(empty, big, block_lo)
     block_hi = jnp.where(empty, big, block_hi)
 
+    # superblock AABBs (union of SB consecutive blocks; far point boxes
+    # stay far, so fully-empty superblocks remain point boxes)
+    sb_lo = block_lo.reshape(nsb, SB, 3).min(axis=1)
+    sb_hi = block_hi.reshape(nsb, SB, 3).max(axis=1)
+
     e1 = tv1 - tv0
     e2 = tv2 - tv0
     rows = [tv0[:, 0], tv0[:, 1], tv0[:, 2],
@@ -100,11 +126,26 @@ def build_packet_set(bvh: BVH) -> PacketSet:
             (orig >= 0).astype(jnp.float32)]
     rows += [jnp.zeros_like(rows[0])] * (16 - len(rows))
     planes = jnp.stack([x.reshape(nb, bk) for x in rows], axis=1)
-    # trailing zero sentinel block for quad padding (valid row = 0)
+    # superblock-contiguous layout + trailing zero sentinel superblock
+    planes = planes.reshape(nsb, SB, 16, bk).transpose(0, 2, 1, 3)
+    planes = planes.reshape(nsb, 16, SB * bk)
     planes = jnp.concatenate(
-        [planes, jnp.zeros((1, 16, bk), jnp.float32)])
+        [planes, jnp.zeros((1, 16, SB * bk), jnp.float32)])
+
+    boxes = jnp.concatenate(
+        [block_lo, block_hi, jnp.zeros((nb, 2), jnp.float32)], axis=1)
+    boxes = boxes.reshape(nsb, SB, 8)
+    sentinel = jnp.full((1, SB, 8), big, jnp.float32)
+    boxes = jnp.concatenate([boxes, sentinel])
+
     return PacketSet(block_lo=block_lo, block_hi=block_hi,
-                     planes=planes, slot_orig=orig)
+                     sb_lo=sb_lo, sb_hi=sb_hi,
+                     planes=planes, boxes=boxes, slot_orig=orig)
+
+
+def _safe_inv(d):
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                           jnp.where(d < 0, -1e-12, 1e-12), d)
 
 
 def _interval_overlap(o_lo, o_hi, inv_lo, inv_hi, blk_lo, blk_hi, t_hi):
@@ -137,38 +178,35 @@ def _interval_overlap(o_lo, o_hi, inv_lo, inv_hi, blk_lo, blk_hi, t_hi):
     return (tf >= jnp.maximum(tn, 0.0)) & (tn <= t_hi)
 
 
-def _per_ray_tile_overlap(ot, dt, tct, sb_lo, sb_hi,
-                          chunk: int = 64):
-    """Exact per-tile candidate mask: a tile lists a superblock iff some
-    ray in it actually passes the slab test.
+def _per_ray_tile_overlap(ot, inv, tct, box_lo, box_hi,
+                          chunk: int = 32):
+    """Exact per-tile candidate mask at ``box`` granularity: a tile lists
+    a box iff some ray in it actually passes the slab test.
 
-    Replaces the conservative interval-frustum test for the Pallas path:
-    incoherent (bounce) tiles have wide direction cones, and the frustum
-    bound degenerates toward 'every block'; testing the 128 rays
-    individually and OR-reducing is a few Gflop of dense VPU work and
-    shrinks pair counts by an order of magnitude.
+    Replaces a conservative interval-frustum test: incoherent (bounce)
+    tiles have wide direction cones, and the frustum bound degenerates
+    toward 'every box'; testing the 128 rays individually and
+    OR-reducing is dense VPU work that XLA fuses into the reduction.
+    Dead lanes (t_cap == 0) contribute nothing.
     """
     nt = ot.shape[0]
-    nb = sb_lo.shape[0]
+    nbx = box_lo.shape[0]
     pad = (-nt) % chunk
     if pad:
         zot = jnp.zeros((pad,) + ot.shape[1:], ot.dtype)
         ot = jnp.concatenate([ot, zot])
-        dt = jnp.concatenate([dt, jnp.ones_like(zot)])
+        inv = jnp.concatenate([inv, jnp.ones_like(zot)])
         tct = jnp.concatenate(
             [tct, jnp.zeros((pad,) + tct.shape[1:], tct.dtype)])
 
-    inv = 1.0 / jnp.where(jnp.abs(dt) < 1e-12,
-                          jnp.where(dt < 0, -1e-12, 1e-12), dt)
-
     def step(_, args):
         o_c, inv_c, tc_c = args                     # [C, TILE, ...]
-        t0 = (sb_lo[None, None] - o_c[:, :, None]) * inv_c[:, :, None]
-        t1 = (sb_hi[None, None] - o_c[:, :, None]) * inv_c[:, :, None]
-        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)  # [C, TILE, nsb]
+        t0 = (box_lo[None, None] - o_c[:, :, None]) * inv_c[:, :, None]
+        t1 = (box_hi[None, None] - o_c[:, :, None]) * inv_c[:, :, None]
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)  # [C, TILE, nbx]
         tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
         hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= tc_c[:, :, None])
-        return None, jnp.any(hit, axis=1)           # [C, nsb]
+        return None, jnp.any(hit, axis=1)           # [C, nbx]
 
     n_chunks = ot.shape[0] // chunk
     _, out = jax.lax.scan(
@@ -176,7 +214,29 @@ def _per_ray_tile_overlap(ot, dt, tct, sb_lo, sb_hi,
         (ot.reshape(n_chunks, chunk, TILE, 3),
          inv.reshape(n_chunks, chunk, TILE, 3),
          tct.reshape(n_chunks, chunk, TILE)))
-    return out.reshape(-1, nb)[:nt]
+    return out.reshape(-1, nbx)[:nt]
+
+
+def _compact_pairs(sb_mask, nsb_sentinel):
+    """[nt, nsb] mask -> tile-major (pair_tile, pair_sb, n_pairs) with
+    static length nt*nsb; padded entries -> (nt, sentinel).
+
+    One cumsum + two scatters over nt*nsb elements (the GPU analog is a
+    ballot+popcount queue append, ``ballotlib.glsl:106-132``).
+    """
+    nt, nsb = sb_mask.shape
+    lw = nt * nsb
+    flat = sb_mask.reshape(-1)
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    n_pairs = pos[-1] + 1
+    tile_of = jnp.arange(lw, dtype=jnp.int32) // nsb
+    sb_of = jnp.arange(lw, dtype=jnp.int32) % nsb
+    target = jnp.where(flat, pos, lw)
+    pair_tile = jnp.full((lw + 1,), nt, jnp.int32).at[target].set(
+        tile_of, mode="drop", unique_indices=True)[:lw]
+    pair_sb = jnp.full((lw + 1,), nsb_sentinel, jnp.int32).at[target].set(
+        sb_of, mode="drop", unique_indices=True)[:lw]
+    return pair_tile, pair_sb, n_pairs
 
 
 def _ray_sort_keys(root_lo, root_hi, o, d):
@@ -184,10 +244,10 @@ def _ray_sort_keys(root_lo, root_hi, o, d):
     direction-Morton(12b).
 
     Bounce rays share origins but scatter in direction; without the
-    direction bits a tile's frustum covers a whole octant of directions
-    and its conservative overlap list approaches *every* block.  Binning
-    by |d| within the octant (4 bits/axis) tightens tile cones to ~20
-    degrees, collapsing the pair count for incoherent queries.
+    direction bits a tile's direction cone covers a whole octant and its
+    overlap list approaches *every* superblock.  Binning by |d| within
+    the octant (4 bits/axis) tightens tile cones to ~20 degrees,
+    collapsing the pair count for incoherent queries.
     """
     from prismarine_core_tpu.ops.morton import morton30
     unit = jnp.clip((o - root_lo)
@@ -201,7 +261,12 @@ def _ray_sort_keys(root_lo, root_hi, o, d):
 
 
 def _packet_core(bvh: BVH, ps: PacketSet, o, d, t_cap, any_hit: bool):
-    """Sorted-ray packet query. o/d/t_cap padded to a multiple of TILE."""
+    """Sorted-ray packet query. o/d/t_cap padded to a multiple of TILE.
+
+    The pure-XLA packet path: conservative tile-frustum cull at block
+    granularity, then a while_loop over each tile's m-th candidate block
+    with dense [TILE, BLOCK] Möller–Trumbore.
+    """
     r = o.shape[0]
     nt = r // TILE
     nb = ps.n_blocks
@@ -215,8 +280,7 @@ def _packet_core(bvh: BVH, ps: PacketSet, o, d, t_cap, any_hit: bool):
     # tile intervals
     o_lo = ot.min(axis=1)[:, None, :]
     o_hi = ot.max(axis=1)[:, None, :]
-    inv = 1.0 / jnp.where(jnp.abs(dt) < 1e-12,
-                          jnp.where(dt < 0, -1e-12, 1e-12), dt)
+    inv = _safe_inv(dt)
     inv_lo = inv.min(axis=1)[:, None, :]
     inv_hi = inv.max(axis=1)[:, None, :]
     t_hi = tct.max(axis=1)[:, None]
@@ -251,6 +315,7 @@ def _packet_core(bvh: BVH, ps: PacketSet, o, d, t_cap, any_hit: bool):
         blk = blk_list[:, m]                                     # [T]
         live = m < counts                                        # [T]
         base = jnp.where(live, blk, 0) * bk
+        base = jnp.minimum(base, s - bk)  # padding blocks clamp into s
 
         b0 = jax.vmap(lambda b: get_block(b, tv0, 3))(base)      # [T,bk,3]
         b1 = jax.vmap(lambda b: get_block(b, tv1, 3))(base)
@@ -293,82 +358,10 @@ def _packet_core(bvh: BVH, ps: PacketSet, o, d, t_cap, any_hit: bool):
             bv.reshape(r))
 
 
-def _build_pairs(overlap):
-    """Compact the [T,B] overlap mask into a tile-major pair list.
+def _sort_pad_rays(bvh: BVH, o, d, t_cap):
+    """Coherence-sort rays and pad to a TILE multiple.
 
-    Returns (pair_tile, pair_block, n_real) with static length T*B (the
-    exact worst case — execution cost adapts to ``n_real``, see the
-    windowed kernel driver); padded entries target tile index T.
-    """
-    nt, nb = overlap.shape
-    flat = overlap.reshape(-1)                      # tile-major order
-    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    total = pos[-1] + 1
-    tile_of = (jnp.arange(nt * nb, dtype=jnp.int32) // nb)
-    block_of = (jnp.arange(nt * nb, dtype=jnp.int32) % nb)
-    target = jnp.where(flat, pos, nt * nb)
-    pair_tile = jnp.full((nt * nb + 1,), nt, jnp.int32).at[target].set(
-        tile_of, mode="drop")[:nt * nb]
-    pair_block = jnp.zeros((nt * nb + 1,), jnp.int32).at[target].set(
-        block_of, mode="drop")[:nt * nb]
-    return pair_tile, pair_block, total
-
-
-def _build_quads(overlap):
-    """Chunk each tile's culled-block list into quads of 4.
-
-    overlap: bool[nt, nb].  Returns (quad_tile i32[Lq],
-    quad_blocks i32[Lq, 4], n_quads) with static Lq = nt * ceil(nb/4);
-    padded quads target tile nt / the sentinel block nb.
-
-    Sort-free: per-row cumsum ranks each hit block within its tile and a
-    single flat scatter drops block ids into their quad slots (the
-    ranking a GPU gets from warp ballot+popcount, ``ballotlib.glsl:
-    106-132``, done as two linear passes instead of the [nt, nb] sort
-    this used to do — the sort was the single hottest op of a query).
-    """
-    nt, nb = overlap.shape
-    nq_tile = -(-nb // 4)
-    lq = nt * nq_tile
-
-    # rank of each hit block within its tile row
-    pos = jnp.cumsum(overlap.astype(jnp.int32), axis=1) - 1  # [nt, nb]
-    counts = pos[:, -1] + 1                                  # [nt]
-
-    # scatter block ids straight into [lq, 4] quad slots (tile-major)
-    tile_idx = jnp.arange(nt, dtype=jnp.int32)[:, None]
-    flat_dest = ((tile_idx * nq_tile + pos // 4) * 4 + pos % 4)
-    flat_dest = jnp.where(overlap, flat_dest, lq * 4)        # drop misses
-    blk_ids = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32), (nt, nb))
-    qb_all = jnp.full((lq * 4 + 1,), nb, jnp.int32).at[
-        flat_dest.reshape(-1)].set(blk_ids.reshape(-1),
-                                   mode="drop")[:lq * 4].reshape(lq, 4)
-
-    # compact used (tile, m) quad slots to the front, tile-major
-    qc = -(-counts // 4)                                     # quads/tile
-    mask = (jnp.arange(nq_tile, dtype=jnp.int32)[None, :]
-            < qc[:, None]).reshape(-1)
-    cpos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    n_quads = cpos[-1] + 1
-    target = jnp.where(mask, cpos, lq)
-    tile_of = jnp.arange(lq, dtype=jnp.int32) // nq_tile
-    quad_tile = jnp.full((lq + 1,), nt, jnp.int32).at[target].set(
-        tile_of, mode="drop")[:lq]
-    slot_of = jnp.arange(lq, dtype=jnp.int32)
-    quad_slot = jnp.zeros((lq + 1,), jnp.int32).at[target].set(
-        slot_of, mode="drop")[:lq]
-    qb = jnp.where((quad_tile < nt)[:, None], qb_all[quad_slot], nb)
-    return quad_tile, qb, n_quads
-
-
-def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
-                       any_hit: bool, window: int = 2048):
-    """Pallas fast path: sort+tile rays, cull blocks per ray, chunk
-    into quads, run the windowed quad kernel
-    (ops/pallas_intersect.py), unsort."""
-    from prismarine_core_tpu.ops.pallas_intersect import (
-        pallas_quad_intersect_windowed)
-
+    Returns (o, d, t_cap, inv_perm, n_orig)."""
     r = o.shape[0]
     keys = _ray_sort_keys(bvh.lo[0], bvh.hi[0], o, d)
     iota = jnp.arange(r, dtype=jnp.int32)
@@ -383,79 +376,82 @@ def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
         d = jnp.concatenate([d, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]),
                                          (pad, 1))])
         t_cap = jnp.concatenate([t_cap, jnp.zeros((pad,))])
-    rp = r + pad
+    return o, d, t_cap, inv_perm, r
+
+
+def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
+                       any_hit: bool, window: int = 1024):
+    """Pallas fast path: sort+tile rays, dense superblock cull, compact
+    pairs, run the fused cull+intersect kernel
+    (ops/pallas_intersect.py), unsort."""
+    from prismarine_core_tpu.ops.pallas_intersect import (
+        RAY_COLS, pallas_sb_intersect_windowed)
+
+    o, d, t_cap, inv_perm, r = _sort_pad_rays(bvh, o, d, t_cap)
+    rp = o.shape[0]
     nt = rp // TILE
 
     ot = o.reshape(nt, TILE, 3)
     dt = d.reshape(nt, TILE, 3)
     tct = t_cap.reshape(nt, TILE)
+    inv = _safe_inv(dt)
 
-    # exact per-ray culling at BLOCK granularity
-    overlap = _per_ray_tile_overlap(ot, dt, tct, ps.block_lo,
-                                    ps.block_hi)
-    counts = overlap.sum(axis=1).astype(jnp.int32)
-    quad_tile, quad_blocks, n_quads = _build_quads(overlap)
+    # dense exact cull at superblock granularity + pair compaction
+    nsb = ps.n_superblocks
+    sb_mask = _per_ray_tile_overlap(ot, inv, tct, ps.sb_lo, ps.sb_hi)
+    pair_tile, pair_sb, n_pairs = _compact_pairs(sb_mask, nsb)
 
-    # rays layout [(nt+1)*TILE, 8]: component columns + one padding tile
-    rays = jnp.zeros((nt + 1, TILE, 8), jnp.float32)
-    rays = rays.at[:nt, :, 0].set(ot[:, :, 0])
-    rays = rays.at[:nt, :, 1].set(ot[:, :, 1])
-    rays = rays.at[:nt, :, 2].set(ot[:, :, 2])
-    rays = rays.at[:nt, :, 3].set(dt[:, :, 0])
-    rays = rays.at[:nt, :, 4].set(dt[:, :, 1])
-    rays = rays.at[:nt, :, 5].set(dt[:, :, 2])
+    # rays layout [(nt+1)*TILE, 16]: component columns + 1/d + one
+    # padding tile (all-zero: t_cap 0, never hits)
+    rays = jnp.zeros((nt + 1, TILE, RAY_COLS), jnp.float32)
+    rays = rays.at[:nt, :, 0:3].set(ot)
+    rays = rays.at[:nt, :, 3:6].set(dt)
     rays = rays.at[:nt, :, 6].set(tct)
-    rays = rays.reshape((nt + 1) * TILE, 8)
+    rays = rays.at[:nt, :, 8:11].set(inv)
+    rays = rays.reshape((nt + 1) * TILE, RAY_COLS)
 
-    # pad the quad list to a window multiple so dynamic_slice never clamps
-    nb = ps.n_blocks
-    window = min(window, int(quad_tile.shape[0]))
-    wpad = (-int(quad_tile.shape[0])) % window
+    # pad the pair list to a window multiple so dynamic_slice never clamps
+    window = min(window, int(pair_tile.shape[0]))
+    wpad = (-int(pair_tile.shape[0])) % window
     if wpad:
-        quad_tile = jnp.concatenate(
-            [quad_tile, jnp.full((wpad,), nt, jnp.int32)])
-        quad_blocks = jnp.concatenate(
-            [quad_blocks, jnp.full((wpad, 4), nb, jnp.int32)])
-    out = pallas_quad_intersect_windowed(
-        quad_tile, quad_blocks, n_quads, rays, ps.planes, window=window,
-        any_hit=any_hit)
+        pair_tile = jnp.concatenate(
+            [pair_tile, jnp.full((wpad,), nt, jnp.int32)])
+        pair_sb = jnp.concatenate(
+            [pair_sb, jnp.full((wpad,), nsb, jnp.int32)])
+    out = pallas_sb_intersect_windowed(
+        pair_tile, pair_sb, n_pairs, rays, ps.planes, ps.boxes,
+        window=window, any_hit=any_hit)
     out = out.reshape(nt + 1, TILE, 8)[:nt]
     t = out[:, :, 0]
     slot = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32)
-    u = out[:, :, 2]
-    v = out[:, :, 3]
 
-    # tiles never visited by any pair keep garbage — fix them up
-    no_pair = (counts == 0)[:, None]
-    t = jnp.where(no_pair, tct, t)
-    slot = jnp.where(no_pair, -1, slot)
-    u = jnp.where(no_pair, 0.0, u)
-    v = jnp.where(no_pair, 0.0, v)
-
-    t, slot, u, v = (x.reshape(rp)[:r] for x in (t, slot, u, v))
-    return (t[inv_perm], slot[inv_perm], u[inv_perm], v[inv_perm])
+    t, slot = (x.reshape(rp)[:r] for x in (t, slot))
+    return t[inv_perm], slot[inv_perm]
 
 
 def _run_packet(bvh: BVH, ps: PacketSet, o, d, t_cap, any_hit: bool):
     """Sort rays, pad to a tile multiple, run the packet core, unsort."""
-    r = o.shape[0]
-    keys = _ray_sort_keys(bvh.lo[0], bvh.hi[0], o, d)
-    iota = jnp.arange(r, dtype=jnp.int32)
-    _, perm = jax.lax.sort((keys, iota), num_keys=1)
-    inv_perm = jnp.zeros((r,), jnp.int32).at[perm].set(iota)
-    o, d, t_cap = o[perm], d[perm], t_cap[perm]
-
-    pad = (-r) % TILE
-    if pad:
-        o = jnp.concatenate([o, jnp.tile(jnp.asarray([[0.0, 0.0, 1e8]]),
-                                         (pad, 1))])
-        d = jnp.concatenate([d, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]),
-                                         (pad, 1))])
-        t_cap = jnp.concatenate([t_cap, jnp.zeros((pad,))])
-
+    o, d, t_cap, inv_perm, r = _sort_pad_rays(bvh, o, d, t_cap)
     t, slot, u, v = _packet_core(bvh, ps, o, d, t_cap, any_hit)
-    t, slot, u, v = t[:r], slot[:r], u[:r], v[:r]
-    return t[inv_perm], slot[inv_perm], u[inv_perm], v[inv_perm]
+    t, slot = t[:r], slot[:r]
+    return t[inv_perm], slot[inv_perm]
+
+
+def _reeval_hit(bvh: BVH, soup: TriangleSoup, o, d, slot) -> Hit:
+    """Differentiable re-evaluation of a detached discrete hit."""
+    sg = jax.lax.stop_gradient
+    tri = jnp.where(slot >= 0, bvh.orig[jnp.maximum(slot, 0)], -1)
+    tri = sg(tri)
+    trix = jnp.maximum(tri, 0)
+    t, u, v, _ = moller_trumbore(
+        o, d, soup.v0[trix], soup.v1[trix], soup.v2[trix])
+    hitm = tri >= 0
+    return Hit(
+        t=jnp.where(hitm, t, INF_DIST),
+        tri=tri,
+        u=jnp.where(hitm, u, 0.0),
+        v=jnp.where(hitm, v, 0.0),
+    )
 
 
 def intersect_closest_packet(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
@@ -463,61 +459,37 @@ def intersect_closest_packet(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
     """Closest hit via packets; differentiable like the BVH path (detached
     discrete hit + differentiable re-evaluation)."""
     sg = jax.lax.stop_gradient
-    _, slot, _, _ = _run_packet(
+    _, slot = _run_packet(
         sg(bvh), sg(ps), sg(o), sg(d),
         jnp.full((o.shape[0],), INF_DIST), any_hit=False)
-    tri = jnp.where(slot >= 0, bvh.orig[jnp.maximum(slot, 0)], -1)
-    tri = sg(tri)
-
-    trix = jnp.maximum(tri, 0)
-    t, u, v, _ = moller_trumbore(
-        o, d, soup.v0[trix], soup.v1[trix], soup.v2[trix])
-    hitm = tri >= 0
-    return Hit(
-        t=jnp.where(hitm, t, INF_DIST),
-        tri=tri,
-        u=jnp.where(hitm, u, 0.0),
-        v=jnp.where(hitm, v, 0.0),
-    )
+    return _reeval_hit(bvh, soup, o, d, slot)
 
 
 def occluded_packet(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
                     o, d, t_max):
     sg = jax.lax.stop_gradient
-    _, slot, _, _ = _run_packet(sg(bvh), sg(ps), sg(o), sg(d), sg(t_max),
-                                any_hit=True)
+    _, slot = _run_packet(sg(bvh), sg(ps), sg(o), sg(d), sg(t_max),
+                          any_hit=True)
     return slot >= 0
 
 
 def intersect_closest_pallas(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
                              o, d, t_cap=None) -> Hit:
-    """Closest hit via the Pallas pair kernel (fast path).
+    """Closest hit via the fused Pallas kernel (fast path).
 
     ``t_cap`` (f32[R], optional): per-lane far limit; lanes with 0 are
     culled out of the pair lists entirely (dead-lane compaction)."""
     sg = jax.lax.stop_gradient
     if t_cap is None:
         t_cap = jnp.full((o.shape[0],), INF_DIST)
-    _, slot, _, _ = _run_packet_pallas(
+    _, slot = _run_packet_pallas(
         sg(bvh), sg(ps), sg(o), sg(d), sg(t_cap), any_hit=False)
-    tri = jnp.where(slot >= 0, bvh.orig[jnp.maximum(slot, 0)], -1)
-    tri = sg(tri)
-
-    trix = jnp.maximum(tri, 0)
-    t, u, v, _ = moller_trumbore(
-        o, d, soup.v0[trix], soup.v1[trix], soup.v2[trix])
-    hitm = tri >= 0
-    return Hit(
-        t=jnp.where(hitm, t, INF_DIST),
-        tri=tri,
-        u=jnp.where(hitm, u, 0.0),
-        v=jnp.where(hitm, v, 0.0),
-    )
+    return _reeval_hit(bvh, soup, o, d, slot)
 
 
 def occluded_pallas(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
                     o, d, t_max):
     sg = jax.lax.stop_gradient
-    _, slot, _, _ = _run_packet_pallas(sg(bvh), sg(ps), sg(o), sg(d),
-                                       sg(t_max), any_hit=True)
+    _, slot = _run_packet_pallas(sg(bvh), sg(ps), sg(o), sg(d),
+                                 sg(t_max), any_hit=True)
     return slot >= 0
