@@ -93,6 +93,17 @@ def main():
         (pt, psb, npairs), _ = timeit(pair_stage, sb_mask,
                                       label="pair compaction")
 
+        @jax.jit
+        def mask_stage(pt, psb, npairs):
+            return pk._block_masks(ot, inv, tct, pt, psb, npairs,
+                                   ps.block_lo, ps.block_hi)
+
+        pm, _ = timeit(mask_stage, pt, psb, npairs,
+                       label="block-mask refinement")
+        nbits = jnp.sum(jnp.bitwise_count(pm.astype(jnp.uint32)))
+        print(f"  real block-tests={int(nbits)} "
+              f"({float(nbits)/max(int(npairs),1):.2f}/pair)", flush=True)
+
         counts = sb_mask.sum(axis=1)
         print(f"  sbs/tile: mean={float(counts.mean()):.1f} "
               f"p50={float(jnp.percentile(counts, 50)):.0f} "

@@ -67,9 +67,6 @@ class PacketSet:
     #: valid, pad; sub-block k on lanes [128k, 128k+128).  The trailing
     #: superblock is all-zero (the pair-padding sentinel: valid=0).
     planes: jax.Array
-    #: f32[B/SB + 1, 8, 8] per-block AABBs [lo3 hi3 0 0] for the
-    #: in-kernel cull; sentinel superblock = far boxes.
-    boxes: jax.Array
     slot_orig: jax.Array  # i32[B*BLOCK] slot -> original triangle id
 
     @property
@@ -132,15 +129,9 @@ def build_packet_set(bvh: BVH) -> PacketSet:
     planes = jnp.concatenate(
         [planes, jnp.zeros((1, 16, SB * bk), jnp.float32)])
 
-    boxes = jnp.concatenate(
-        [block_lo, block_hi, jnp.zeros((nb, 2), jnp.float32)], axis=1)
-    boxes = boxes.reshape(nsb, SB, 8)
-    sentinel = jnp.full((1, SB, 8), big, jnp.float32)
-    boxes = jnp.concatenate([boxes, sentinel])
-
     return PacketSet(block_lo=block_lo, block_hi=block_hi,
                      sb_lo=sb_lo, sb_hi=sb_hi,
-                     planes=planes, boxes=boxes, slot_orig=orig)
+                     planes=planes, slot_orig=orig)
 
 
 def _safe_inv(d):
@@ -215,6 +206,67 @@ def _per_ray_tile_overlap(ot, inv, tct, box_lo, box_hi,
          inv.reshape(n_chunks, chunk, TILE, 3),
          tct.reshape(n_chunks, chunk, TILE)))
     return out.reshape(-1, nbx)[:nt]
+
+
+def _block_masks(ot, inv, tct, pair_tile, pair_sb, n_pairs,
+                 block_lo, block_hi, window: int = 4096):
+    """Per-pair 8-bit block mask: bit k set iff some ray of the pair's
+    tile slab-passes block ``sb*SB + k``.
+
+    The second cull level, run over the compacted pair list in windows
+    (cost adapts to the survivor count).  Writes are contiguous
+    ``dynamic_update_slice`` windows — no scatters (the r1 quad builder's
+    ~15M-element scatters were the single hottest stage of a query).
+    The kernel consumes the mask as a scalar-prefetch array and skips
+    masked-off sub-blocks with cheap SMEM-side predication.
+    """
+    nt = ot.shape[0]
+    nsb = block_lo.shape[0] // SB
+    sblk_lo = block_lo.reshape(nsb, SB, 3)
+    sblk_hi = block_hi.reshape(nsb, SB, 3)
+    lw = pair_tile.shape[0]
+    window = min(window, lw)
+    wpad = (-lw) % window
+    if wpad:
+        pair_tile = jnp.concatenate(
+            [pair_tile, jnp.full((wpad,), nt, jnp.int32)])
+        pair_sb = jnp.concatenate(
+            [pair_sb, jnp.full((wpad,), nsb, jnp.int32)])
+
+    # sentinel tile nt: zero rays with t_cap 0 -> no bits set
+    otp = jnp.concatenate([ot, jnp.zeros((1, TILE, 3), ot.dtype)])
+    invp = jnp.concatenate([inv, jnp.ones((1, TILE, 3), inv.dtype)])
+    tctp = jnp.concatenate([tct, jnp.zeros((1, TILE), tct.dtype)])
+    bits = (1 << jnp.arange(SB, dtype=jnp.int32))[None, :]
+
+    def cond(state):
+        return state[0] < n_pairs
+
+    def body(state):
+        start, masks = state
+        pt = jax.lax.dynamic_slice(pair_tile, (start,), (window,))
+        psb = jax.lax.dynamic_slice(pair_sb, (start,), (window,))
+        live = (start + jnp.arange(window, dtype=jnp.int32)) < n_pairs
+        pt = jnp.where(live, pt, nt)
+        psb = jnp.minimum(psb, nsb - 1)
+        o_w = otp[pt]                                 # [W, TILE, 3]
+        i_w = invp[pt]
+        tc_w = tctp[pt]
+        lo_w = sblk_lo[psb][:, None]                  # [W, 1, SB, 3]
+        hi_w = sblk_hi[psb][:, None]
+        t0 = (lo_w - o_w[:, :, None]) * i_w[:, :, None]
+        t1 = (hi_w - o_w[:, :, None]) * i_w[:, :, None]
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)    # [W, TILE, SB]
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= tc_w[:, :, None])
+        bm = jnp.any(hit, axis=1) & live[:, None]     # [W, SB]
+        mw = jnp.sum(jnp.where(bm, bits, 0), axis=1)  # [W] i32
+        masks = jax.lax.dynamic_update_slice(masks, mw, (start,))
+        return start + window, masks
+
+    masks0 = jnp.zeros((pair_tile.shape[0],), jnp.int32)
+    _, masks = jax.lax.while_loop(cond, body, (jnp.int32(0), masks0))
+    return masks[:lw]
 
 
 def _compact_pairs(sb_mask, nsb_sentinel):
@@ -358,15 +410,22 @@ def _packet_core(bvh: BVH, ps: PacketSet, o, d, t_cap, any_hit: bool):
             bv.reshape(r))
 
 
-def _sort_pad_rays(bvh: BVH, o, d, t_cap):
+def _sort_pad_rays(bvh: BVH, o, d, t_cap, order=None):
     """Coherence-sort rays and pad to a TILE multiple.
 
-    Returns (o, d, t_cap, inv_perm, n_orig)."""
+    ``order`` (perm, inv_perm) reuses a previous query's sort — shadow
+    rays originate at the closest-hit points, so the bounce query's
+    origin-coherent order transfers to them and the (expensive) u32
+    lax.sort is paid once per bounce, not once per query.
+    Returns (o, d, t_cap, (perm, inv_perm), n_orig)."""
     r = o.shape[0]
-    keys = _ray_sort_keys(bvh.lo[0], bvh.hi[0], o, d)
-    iota = jnp.arange(r, dtype=jnp.int32)
-    _, perm = jax.lax.sort((keys, iota), num_keys=1)
-    inv_perm = jnp.zeros((r,), jnp.int32).at[perm].set(iota)
+    if order is None:
+        keys = _ray_sort_keys(bvh.lo[0], bvh.hi[0], o, d)
+        iota = jnp.arange(r, dtype=jnp.int32)
+        _, perm = jax.lax.sort((keys, iota), num_keys=1)
+        inv_perm = jnp.zeros((r,), jnp.int32).at[perm].set(iota)
+    else:
+        perm, inv_perm = order
     o, d, t_cap = o[perm], d[perm], t_cap[perm]
 
     pad = (-r) % TILE
@@ -376,18 +435,21 @@ def _sort_pad_rays(bvh: BVH, o, d, t_cap):
         d = jnp.concatenate([d, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]),
                                          (pad, 1))])
         t_cap = jnp.concatenate([t_cap, jnp.zeros((pad,))])
-    return o, d, t_cap, inv_perm, r
+    return o, d, t_cap, (perm, inv_perm), r
 
 
 def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
-                       any_hit: bool, window: int = 1024):
+                       any_hit: bool = False, window: int = 1024,
+                       order=None):
     """Pallas fast path: sort+tile rays, dense superblock cull, compact
-    pairs, run the fused cull+intersect kernel
-    (ops/pallas_intersect.py), unsort."""
+    pairs + block masks, run the kernel (ops/pallas_intersect.py),
+    unsort.  ``any_hit`` only affects semantics upstream (t_cap holds
+    the light distance); the kernel computation is identical.
+    Returns (t, slot, order)."""
     from prismarine_core_tpu.ops.pallas_intersect import (
         RAY_COLS, pallas_sb_intersect_windowed)
 
-    o, d, t_cap, inv_perm, r = _sort_pad_rays(bvh, o, d, t_cap)
+    o, d, t_cap, order, r = _sort_pad_rays(bvh, o, d, t_cap, order)
     rp = o.shape[0]
     nt = rp // TILE
 
@@ -396,10 +458,13 @@ def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
     tct = t_cap.reshape(nt, TILE)
     inv = _safe_inv(dt)
 
-    # dense exact cull at superblock granularity + pair compaction
+    # dense exact cull at superblock granularity + pair compaction +
+    # per-pair block masks (the second cull level)
     nsb = ps.n_superblocks
     sb_mask = _per_ray_tile_overlap(ot, inv, tct, ps.sb_lo, ps.sb_hi)
     pair_tile, pair_sb, n_pairs = _compact_pairs(sb_mask, nsb)
+    pair_mask = _block_masks(ot, inv, tct, pair_tile, pair_sb, n_pairs,
+                             ps.block_lo, ps.block_hi)
 
     # rays layout [(nt+1)*TILE, 16]: component columns + 1/d + one
     # padding tile (all-zero: t_cap 0, never hits)
@@ -418,23 +483,26 @@ def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
             [pair_tile, jnp.full((wpad,), nt, jnp.int32)])
         pair_sb = jnp.concatenate(
             [pair_sb, jnp.full((wpad,), nsb, jnp.int32)])
+        pair_mask = jnp.concatenate(
+            [pair_mask, jnp.zeros((wpad,), jnp.int32)])
     out = pallas_sb_intersect_windowed(
-        pair_tile, pair_sb, n_pairs, rays, ps.planes, ps.boxes,
-        window=window, any_hit=any_hit)
+        pair_tile, pair_sb, pair_mask, n_pairs, rays, ps.planes,
+        window=window)
     out = out.reshape(nt + 1, TILE, 8)[:nt]
     t = out[:, :, 0]
     slot = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32)
 
+    inv_perm = order[1]
     t, slot = (x.reshape(rp)[:r] for x in (t, slot))
-    return t[inv_perm], slot[inv_perm]
+    return t[inv_perm], slot[inv_perm], order
 
 
 def _run_packet(bvh: BVH, ps: PacketSet, o, d, t_cap, any_hit: bool):
     """Sort rays, pad to a tile multiple, run the packet core, unsort."""
-    o, d, t_cap, inv_perm, r = _sort_pad_rays(bvh, o, d, t_cap)
+    o, d, t_cap, order, r = _sort_pad_rays(bvh, o, d, t_cap)
     t, slot, u, v = _packet_core(bvh, ps, o, d, t_cap, any_hit)
     t, slot = t[:r], slot[:r]
-    return t[inv_perm], slot[inv_perm]
+    return t[order[1]], slot[order[1]]
 
 
 def _reeval_hit(bvh: BVH, soup: TriangleSoup, o, d, slot) -> Hit:
@@ -474,22 +542,27 @@ def occluded_packet(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
 
 
 def intersect_closest_pallas(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
-                             o, d, t_cap=None) -> Hit:
+                             o, d, t_cap=None, return_order=False):
     """Closest hit via the fused Pallas kernel (fast path).
 
     ``t_cap`` (f32[R], optional): per-lane far limit; lanes with 0 are
-    culled out of the pair lists entirely (dead-lane compaction)."""
+    culled out of the pair lists entirely (dead-lane compaction).
+    ``return_order``: also return the coherence sort (perm, inv_perm)
+    for reuse by this bounce's shadow query."""
     sg = jax.lax.stop_gradient
     if t_cap is None:
         t_cap = jnp.full((o.shape[0],), INF_DIST)
-    _, slot = _run_packet_pallas(
-        sg(bvh), sg(ps), sg(o), sg(d), sg(t_cap), any_hit=False)
-    return _reeval_hit(bvh, soup, o, d, slot)
+    _, slot, order = _run_packet_pallas(
+        sg(bvh), sg(ps), sg(o), sg(d), sg(t_cap))
+    hit = _reeval_hit(bvh, soup, o, d, slot)
+    return (hit, order) if return_order else hit
 
 
 def occluded_pallas(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
-                    o, d, t_max):
+                    o, d, t_max, order=None):
+    """Any-hit query.  ``order`` reuses a closest query's ray sort
+    (shadow origins = that query's hit points, so coherence carries)."""
     sg = jax.lax.stop_gradient
-    _, slot = _run_packet_pallas(sg(bvh), sg(ps), sg(o), sg(d),
-                                 sg(t_max), any_hit=True)
+    _, slot, _ = _run_packet_pallas(sg(bvh), sg(ps), sg(o), sg(d),
+                                    sg(t_max), any_hit=True, order=order)
     return slot >= 0

@@ -178,6 +178,17 @@ def load_gltf(
         if "baseColorTexture" in pbr:
             d["tex_diffuse"] = _texture_slot(
                 pbr["baseColorTexture"]["index"])
+        # The remaining three texture kinds of surface.comp:102-163:
+        # metallicRoughness (G=roughness, B=metallic — multiplies the
+        # specular record whose y/z are exactly those), emissive, normal.
+        if "metallicRoughnessTexture" in pbr:
+            d["tex_specular"] = _texture_slot(
+                pbr["metallicRoughnessTexture"]["index"])
+        if "emissiveTexture" in m:
+            d["tex_emissive"] = _texture_slot(
+                m["emissiveTexture"]["index"])
+        if "normalTexture" in m:
+            d["tex_bump"] = _texture_slot(m["normalTexture"]["index"])
         mat_dicts.append(d)
     if not mat_dicts:
         mat_dicts.append({"diffuse": (0.7, 0.7, 0.7)})

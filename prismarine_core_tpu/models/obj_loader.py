@@ -7,8 +7,10 @@ MaterialTable the device pipeline consumes.
 
 Supported: v/vn/vt, polygonal ``f`` with triangle-fan splitting, negative
 indices, usemtl/mtllib, quads (the reference's loader.comp also handles
-quads, ``loader.comp:72-151``).  MTL: Kd/Ks/Ke/Ns/d/Tr/Ni, map_Kd (loaded
-when an image decoder is importable, else the slot is ignored).
+quads, ``loader.comp:72-151``).  MTL: Kd/Ks/Ke/Ns/d/Tr/Ni plus the four
+texture kinds the reference binds per material (``surface.comp:102-163``):
+map_Kd/map_Ks/map_Ke/map_bump|bump|norm (loaded when an image decoder is
+importable, else the slot is ignored).
 """
 
 from __future__ import annotations
@@ -59,6 +61,12 @@ def _parse_mtl(path: str) -> dict[str, dict]:
                 cur["ior"] = float(parts[1])
             elif key == "map_kd" and len(parts) >= 2:
                 cur["map_kd"] = parts[-1]
+            elif key == "map_ks" and len(parts) >= 2:
+                cur["map_ks"] = parts[-1]
+            elif key == "map_ke" and len(parts) >= 2:
+                cur["map_ke"] = parts[-1]
+            elif key in ("map_bump", "bump", "norm") and len(parts) >= 2:
+                cur["map_bump"] = parts[-1]
     return mats
 
 
@@ -69,6 +77,39 @@ def _try_load_image(path: str):
         return img / 255.0
     except Exception:
         return None
+
+
+#: MTL texture statement -> MaterialTable texture slot.  Mirrors the four
+#: bindless texture kinds ``surface.comp:102-163`` consumes
+#: (diffuse/specular/emissive/bump).
+_MTL_TEX_SLOTS = (("map_kd", "tex_diffuse"), ("map_ks", "tex_specular"),
+                  ("map_ke", "tex_emissive"), ("map_bump", "tex_bump"))
+
+
+def _build_materials(mat_names, mtl: dict, base: str):
+    """MTL dicts -> MaterialTable dicts + decoded image list (all four
+    texture kinds: diffuse/specular/emissive/bump)."""
+    images: list = []
+    path_cache: dict[str, int] = {}
+    mat_dicts = []
+    for name in mat_names:
+        d = dict(mtl.get(name, {}))
+        d.setdefault("diffuse", (0.7, 0.7, 0.7))
+        for mtl_key, slot in _MTL_TEX_SLOTS:
+            if mtl_key not in d:
+                continue
+            p = os.path.join(base, d[mtl_key])
+            if p not in path_cache:
+                img = _try_load_image(p)
+                path_cache[p] = -1 if img is None else len(images)
+                if img is not None:
+                    images.append(img)
+            if path_cache[p] >= 0:
+                d[slot] = path_cache[p]
+        mat_dicts.append(d)
+    if not mat_dicts:
+        mat_dicts.append({"diffuse": (0.7, 0.7, 0.7)})
+    return mat_dicts, images
 
 
 def load_obj(
@@ -199,20 +240,8 @@ def load_obj(
             soup, t0=pad2(uv[ft_idx[:, 0]]), t1=pad2(uv[ft_idx[:, 1]]),
             t2=pad2(uv[ft_idx[:, 2]]))
 
-    # Materials (+ diffuse textures where decodable).
-    images: list = []
-    mat_dicts = []
-    if not mat_order:
-        mat_dicts.append({"diffuse": (0.7, 0.7, 0.7)})
-    for name in mat_order:
-        d = dict(mtl.get(name, {}))
-        d.setdefault("diffuse", (0.7, 0.7, 0.7))
-        if "map_kd" in d:
-            img = _try_load_image(os.path.join(base, d["map_kd"]))
-            if img is not None:
-                d["tex_diffuse"] = len(images)
-                images.append(img)
-        mat_dicts.append(d)
+    # Materials (+ all four texture kinds where decodable).
+    mat_dicts, images = _build_materials(mat_order, mtl, base)
     mats = MaterialTable.build(mat_dicts)
     textures = (TextureStack.from_images(images, texture_resolution)
                 if images else TextureStack.empty())
@@ -227,17 +256,7 @@ def _assemble_native(parsed: dict, path: str, scale: float,
     if parsed["mtllib"]:
         mtl = _parse_mtl(os.path.join(base, parsed["mtllib"]))
 
-    images: list = []
-    mat_dicts = []
-    for name in parsed["mat_names"]:
-        d = dict(mtl.get(name, {}))
-        d.setdefault("diffuse", (0.7, 0.7, 0.7))
-        if "map_kd" in d:
-            img = _try_load_image(os.path.join(base, d["map_kd"]))
-            if img is not None:
-                d["tex_diffuse"] = len(images)
-                images.append(img)
-        mat_dicts.append(d)
+    mat_dicts, images = _build_materials(parsed["mat_names"], mtl, base)
 
     soup = TriangleSoup.from_corners(
         parsed["v0"] * scale, parsed["v1"] * scale, parsed["v2"] * scale,

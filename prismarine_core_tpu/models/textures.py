@@ -88,6 +88,51 @@ def sample_bilinear(stack: TextureStack, tex_id: jax.Array, uv: jax.Array) -> ja
     return jnp.where(tex_id[:, None] < 0, jnp.ones_like(col), col)
 
 
+def sample_bicubic(stack: TextureStack, tex_id: jax.Array, uv: jax.Array) -> jax.Array:
+    """Bicubic (cubic B-spline) texture fetch via four bilinear taps,
+    the standard trick the reference uses (``mathlib.glsl:285-319``):
+    the cubic weights collapse each 4-tap row/column pair into one
+    bilinear fetch at a weight-shifted coordinate.
+    """
+    n, h, w, _ = stack.data.shape
+    size = jnp.asarray([w, h], jnp.float32)
+
+    def cubic(v):
+        # B-spline weights, mathlib.glsl:285-293
+        nvec = jnp.stack([1.0 - v, 2.0 - v, 3.0 - v, 4.0 - v], axis=-1)
+        s = nvec * nvec * nvec
+        x = s[..., 0]
+        y = s[..., 1] - 4.0 * x
+        z = s[..., 2] - 4.0 * s[..., 1] + 6.0 * x
+        ww = 6.0 - x - y - z
+        return jnp.stack([x, y, z, ww], axis=-1) * (1.0 / 6.0)
+
+    tc = uv * size[None, :]
+    fxy = tc % 1.0
+    base = jnp.floor(tc)
+    xc = cubic(fxy[:, 0])
+    yc = cubic(fxy[:, 1])
+    sx0 = xc[:, 0] + xc[:, 1]
+    sx1 = xc[:, 2] + xc[:, 3]
+    sy0 = yc[:, 0] + yc[:, 1]
+    sy1 = yc[:, 2] + yc[:, 3]
+    ox0 = (base[:, 0] + 0.0 + xc[:, 1] / sx0) / w
+    ox1 = (base[:, 0] + 1.0 + xc[:, 3] / sx1) / w
+    oy0 = (base[:, 1] + 0.0 + yc[:, 1] / sy0) / h
+    oy1 = (base[:, 1] + 1.0 + yc[:, 3] / sy1) / h
+
+    s00 = sample_bilinear(stack, tex_id, jnp.stack([ox0, oy0], -1))
+    s10 = sample_bilinear(stack, tex_id, jnp.stack([ox1, oy0], -1))
+    s01 = sample_bilinear(stack, tex_id, jnp.stack([ox0, oy1], -1))
+    s11 = sample_bilinear(stack, tex_id, jnp.stack([ox1, oy1], -1))
+
+    wx = (sx0 / (sx0 + sx1))[:, None]
+    wy = (sy0 / (sy0 + sy1))[:, None]
+    top = s10 + (s00 - s10) * wx     # mix(sample1, sample0, sx)
+    bot = s11 + (s01 - s11) * wx
+    return bot + (top - bot) * wy
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Environment:

@@ -1,39 +1,35 @@
-"""Pallas TPU kernel: fused cull + intersect over (ray-tile, superblock)
-pairs — the hot op of the framework.
+"""Pallas TPU kernel: dense (ray-tile x triangle-superblock) intersection
+— the hot op of the framework.
 
 Pointer-chasing BVH walks are latency-bound on TPU (every step is a
 ~4 B/lane random HBM gather); this kernel restructures intersection as
 dense batched work: one 128-ray tile against one 8-block superblock
 (1024 Morton-adjacent triangle slots) per grid step, everything in VMEM.
 
-The r1 pipeline culled per-ray x per-block in XLA, then compacted
-(tile, block) pairs into quads with ~15M-element scatters (173 ms/query
-on a v5e — more than the intersection itself) and re-gathered a
-[window, 4, 16, 128] triangle stream per window (~16 MB/step of HBM
-round-trip).  This version fuses all of that into the kernel:
+Scheduling (see accel/packet.py for the producer):
 
-  * the caller culls rays only against SUPERBLOCK AABBs (nb/8 columns,
-    dense exact OR-per-tile) and compacts (tile, superblock) pairs —
-    one cumsum+scatter over [nt, nsb], 8x smaller;
+  * the caller culls rays against SUPERBLOCK AABBs (dense exact
+    OR-per-tile), compacts (tile, superblock) pairs tile-major, and
+    refines each pair to an 8-bit per-block mask in a windowed XLA pass
+    — no scatters anywhere (the r1 pipeline's ~15M-element quad-list
+    scatters were its hottest stage at 173 ms/query on a v5e);
   * per grid step, BlockSpec index maps pull the superblock's triangle
-    planes (one contiguous 64 KB DMA, double-buffered by Mosaic) and its
-    8 block AABBs straight from HBM via the scalar-prefetched pair list;
-  * the kernel slab-tests the tile's 128 rays against the 8 block boxes
-    (per-ray entry distance pruned against the running best t), and
-    runs the dense 128x128 Möller–Trumbore ONLY for sub-blocks some ray
-    actually overlaps (`pl.when` predication — the data-dependent skip a
-    GPU gets from warp divergence, done as predicated whole-tile work).
+    planes (one contiguous 64 KB DMA, double-buffered by Mosaic)
+    straight from HBM via the scalar-prefetched pair list;
+  * the kernel runs the dense 128x128 Möller–Trumbore ONLY for
+    sub-blocks whose mask bit is set — `pl.when` on an SMEM scalar, the
+    cheap form of TPU control flow (an earlier revision computed the
+    mask in-kernel with vector->scalar reductions; the 8 pipeline syncs
+    per step made it ~10x slower than the MT itself).
 
 Layouts (all Mosaic-legal block shapes):
   rays   f32[(nt+1)*TILE, 16] — block (TILE, 16); component columns
-         [ox oy oz dx dy dz t_cap pad ivx ivy ivz pad...] (iv = 1/d);
-         rays land on sublanes.
+         [ox oy oz dx dy dz t_cap pad ...]; rays land on sublanes.
   planes f32[nsb+1, 16, SB*BLOCK] — per-superblock SoA triangle
          components [v0xyz e1xyz e2xyz valid 0...]; triangles land on
          lanes, sub-block k occupying lanes [128k, 128k+128).  Row
          TC_VALID is 0 for padding slots; the trailing superblock is
          all-zero (the pair-padding sentinel).
-  boxes  f32[nsb+1, 8, 8] — block AABBs [lox loy loz hix hiy hiz 0 0].
   out    f32[(nt+1)*TILE, 8] — block (TILE, 8); columns [t slot 0...]
          (slot is an int32 BITCAST into the f32 column; Mosaic has no
          int<->float converts on this path).  Barycentrics are NOT
@@ -74,139 +70,103 @@ RAY_COLS = 16
 # triangle component rows
 (TC_V0X, TC_V0Y, TC_V0Z, TC_E1X, TC_E1Y, TC_E1Z,
  TC_E2X, TC_E2Y, TC_E2Z, TC_VALID) = range(10)
-# box columns
-BX_LOX, BX_LOY, BX_LOZ, BX_HIX, BX_HIY, BX_HIZ = range(6)
 # output columns
 OC_T, OC_SLOT = range(2)
 
 
-def _make_sb_kernel(any_hit: bool):
-    def kernel(pair_tile, pair_sb, first_pair,
+def _sb_kernel(pair_tile, pair_sb, pair_mask, first_pair,
                ray_ref,                        # [TILE, 16]
                tri_ref,                        # [1, 16, SB*BLOCK]
-               box_ref,                        # [1, 8, 8]
                prior_ref,                      # [TILE, 8]
                out_ref):                       # [TILE, 8]
-        i = pl.program_id(0)
+    i = pl.program_id(0)
 
-        @pl.when(first_pair[i] == 1)
-        def _init():
-            # first visit of this tile *within this window*: seed the
-            # VMEM accumulator from the previous window's best (or the
-            # caller's t_cap/-1 initialization on the first window).
-            out_ref[:, :] = prior_ref[:, :]
+    @pl.when(first_pair[i] == 1)
+    def _init():
+        # first visit of this tile *within this window*: seed the VMEM
+        # accumulator from the previous window's best (or the caller's
+        # t_cap/-1 initialization on the first window).
+        out_ref[:, :] = prior_ref[:, :]
 
-        def rcol(c):
-            return ray_ref[:, c][:, None]
+    def rcol(c):
+        return ray_ref[:, c][:, None]
 
-        rox, roy, roz = rcol(RC_OX), rcol(RC_OY), rcol(RC_OZ)
-        rdx, rdy, rdz = rcol(RC_DX), rcol(RC_DY), rcol(RC_DZ)
-        ivx, ivy, ivz = rcol(RC_IVX), rcol(RC_IVY), rcol(RC_IVZ)
+    rox, roy, roz = rcol(RC_OX), rcol(RC_OY), rcol(RC_OZ)
+    rdx, rdy, rdz = rcol(RC_DX), rcol(RC_DY), rcol(RC_DZ)
 
-        best0 = out_ref[:, OC_T]                               # [TILE]
-        slot0 = jax.lax.bitcast_convert_type(out_ref[:, OC_SLOT],
-                                             jnp.int32)
+    base_slot = pair_sb[i] * (SB * BLOCK)
+    mask = pair_mask[i]
 
-        # ---- in-kernel block cull: slab test vs the 8 block AABBs ----
-        def brow(c):
-            return box_ref[0, :, c][None, :]                   # [1, 8]
+    for k in range(SB):
+        @pl.when((mask >> k) & 1 == 1)
+        def _mt(k=k):
+            def trow(c):
+                return tri_ref[0, c,
+                               k * BLOCK:(k + 1) * BLOCK][None, :]
 
-        t0x = (brow(BX_LOX) - rox) * ivx                       # [TILE, 8]
-        t1x = (brow(BX_HIX) - rox) * ivx
-        t0y = (brow(BX_LOY) - roy) * ivy
-        t1y = (brow(BX_HIY) - roy) * ivy
-        t0z = (brow(BX_LOZ) - roz) * ivz
-        t1z = (brow(BX_HIZ) - roz) * ivz
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                     jnp.minimum(t0y, t1y)),
-                         jnp.minimum(t0z, t1z))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                     jnp.maximum(t0y, t1y)),
-                         jnp.maximum(t0z, t1z))
-        # per-ray pruning against the running best (ordered-traversal
-        # analog: rays that already found a closer hit skip the block)
-        hitb = (tf >= jnp.maximum(tn, 0.0)) & (tn < best0[:, None])
-        if any_hit:
-            hitb = hitb & (slot0 < 0)[:, None]  # shadowed lanes retire
+            best = out_ref[:, OC_T]
+            slot_best = jax.lax.bitcast_convert_type(
+                out_ref[:, OC_SLOT], jnp.int32)
 
-        base_slot = pair_sb[i] * (SB * BLOCK)
+            e1x, e1y, e1z = trow(TC_E1X), trow(TC_E1Y), trow(TC_E1Z)
+            e2x, e2y, e2z = trow(TC_E2X), trow(TC_E2Y), trow(TC_E2Z)
 
-        for k in range(SB):
-            nk = jnp.sum(hitb[:, k].astype(jnp.int32))  # scalar reduce
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv = 1.0 / jnp.where(jnp.abs(det) < _DET_EPS,
+                                  _DET_EPS, det)
 
-            @pl.when(nk > 0)
-            def _mt(k=k):
-                def trow(c):
-                    return tri_ref[0, c,
-                                   k * BLOCK:(k + 1) * BLOCK][None, :]
+            sx = rox - trow(TC_V0X)
+            sy = roy - trow(TC_V0Y)
+            sz = roz - trow(TC_V0Z)
+            uu = (sx * px + sy * py + sz * pz) * inv
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = (rdx * qx + rdy * qy + rdz * qz) * inv
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv
 
-                best = out_ref[:, OC_T]
-                slot_best = jax.lax.bitcast_convert_type(
-                    out_ref[:, OC_SLOT], jnp.int32)
+            ok = ((jnp.abs(det) >= _DET_EPS)
+                  & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                  & (tt > PZERO) & (trow(TC_VALID) > 0.5))
+            tt = jnp.where(ok & (tt < best[:, None]), tt, INF_DIST)
 
-                e1x, e1y, e1z = trow(TC_E1X), trow(TC_E1Y), trow(TC_E1Z)
-                e2x, e2y, e2z = trow(TC_E2X), trow(TC_E2Y), trow(TC_E2Z)
+            j = jnp.argmin(tt, axis=1)                     # [TILE]
+            tj = jnp.min(tt, axis=1)
+            better = tj < best
 
-                px = rdy * e2z - rdz * e2y
-                py = rdz * e2x - rdx * e2z
-                pz = rdx * e2y - rdy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv = 1.0 / jnp.where(jnp.abs(det) < _DET_EPS,
-                                      _DET_EPS, det)
+            best = jnp.where(better, tj, best)
+            slot_best = jnp.where(better,
+                                  base_slot + k * BLOCK + j,
+                                  slot_best)
 
-                sx = rox - trow(TC_V0X)
-                sy = roy - trow(TC_V0Y)
-                sz = roz - trow(TC_V0Z)
-                uu = (sx * px + sy * py + sz * pz) * inv
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                vv = (rdx * qx + rdy * qy + rdz * qz) * inv
-                tt = (e2x * qx + e2y * qy + e2z * qz) * inv
-
-                ok = ((jnp.abs(det) >= _DET_EPS)
-                      & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                      & (tt > PZERO) & (trow(TC_VALID) > 0.5)
-                      & hitb[:, k][:, None])
-                tt = jnp.where(ok & (tt < best[:, None]), tt, INF_DIST)
-
-                j = jnp.argmin(tt, axis=1)                     # [TILE]
-                tj = jnp.min(tt, axis=1)
-                better = tj < best
-
-                best = jnp.where(better, tj, best)
-                slot_best = jnp.where(better,
-                                      base_slot + k * BLOCK + j,
-                                      slot_best)
-
-                colid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 1)
-                out = jnp.where(colid == OC_T, best[:, None],
-                                out_ref[:, :])
-                out = jnp.where(
-                    colid == OC_SLOT,
-                    jax.lax.bitcast_convert_type(
-                        slot_best, jnp.float32)[:, None],
-                    out)
-                out_ref[:, :] = out
-
-    return kernel
+            colid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 1)
+            out = jnp.where(colid == OC_T, best[:, None],
+                            out_ref[:, :])
+            out = jnp.where(
+                colid == OC_SLOT,
+                jax.lax.bitcast_convert_type(
+                    slot_best, jnp.float32)[:, None],
+                out)
+            out_ref[:, :] = out
 
 
-@partial(jax.jit, static_argnames=("window", "any_hit"))
+@partial(jax.jit, static_argnames=("window",))
 def pallas_sb_intersect_windowed(
     pair_tile,               # i32[L] pair list, tile-major; pad -> nt
     pair_sb,                 # i32[L] superblock ids (pad -> sentinel)
+    pair_mask,               # i32[L] 8-bit per-block masks (pad -> 0)
     n_real: jax.Array,       # i32[] number of real pairs
     rays,                    # f32[(nt+1)*TILE, 16]
     planes,                  # f32[nsb+1, 16, SB*BLOCK] (last = sentinel)
-    boxes,                   # f32[nsb+1, 8, 8]
     window: int = 1024,
-    any_hit: bool = False,
 ):
     """Exact pair execution: while_loop over fixed-size pair windows.
 
     Each window runs one ``pallas_call`` whose BlockSpec index maps pull
-    the superblock planes/boxes straight out of HBM (contiguous DMAs,
+    the superblock planes straight out of HBM (contiguous DMAs,
     double-buffered by Mosaic); per-tile bests carry across windows via
     the prior-input/first-flag handoff, and tiles untouched in a window
     keep their carried values through the output aliasing.
@@ -215,25 +175,22 @@ def pallas_sb_intersect_windowed(
     n_tiles_pad = n_rows // TILE - 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(window,),
         in_specs=[
             pl.BlockSpec((TILE, RAY_COLS),
-                         lambda i, pt, psb, fp: (pt[i], 0),
+                         lambda i, pt, psb, pm, fp: (pt[i], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16, SB * BLOCK),
-                         lambda i, pt, psb, fp: (psb[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 8),
-                         lambda i, pt, psb, fp: (psb[i], 0, 0),
+                         lambda i, pt, psb, pm, fp: (psb[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 8),
-                         lambda i, pt, psb, fp: (pt[i], 0),
+                         lambda i, pt, psb, pm, fp: (pt[i], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (TILE, 8),
-            lambda i, pt, psb, fp: (pt[i], 0),
+            lambda i, pt, psb, pm, fp: (pt[i], 0),
             memory_space=pltpu.VMEM),
     )
 
@@ -241,12 +198,12 @@ def pallas_sb_intersect_windowed(
     # interpreter there; real TPU compiles the kernel.
     interpret = jax.default_backend() == "cpu"
     call = pl.pallas_call(
-        _make_sb_kernel(any_hit),
+        _sb_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, 8), jnp.float32),
-        # prior (input 6 = 3 scalar-prefetch + rays + planes + boxes +
-        # prior) aliases the output: tiles untouched by a window keep
-        # their carried values in place, so the driver needs no merge.
+        # prior (input 6 = 4 scalar-prefetch + rays + planes + prior)
+        # aliases the output: tiles untouched by a window keep their
+        # carried values in place, so the driver needs no merge pass.
         input_output_aliases={6: 0},
         interpret=interpret,
     )
@@ -260,25 +217,25 @@ def pallas_sb_intersect_windowed(
         jnp.where(colid == OC_SLOT, neg1[:, None], 0.0))
 
     def cond(state):
-        start, out = state
-        more = start < n_real
-        if any_hit:
-            # shadow queries retire once every real lane is shadowed
-            slots = jax.lax.bitcast_convert_type(out[:, OC_SLOT],
-                                                 jnp.int32)
-            more = more & ~jnp.all(slots[:n_rows - TILE] >= 0)
-        return more
+        # NOTE: deliberately no any-hit early-exit here — reading the
+        # aliased ``out`` in the loop condition forces XLA to copy the
+        # whole accumulator every window (~30 MB at 720p; measured 2x
+        # slower shadow queries than closest-hit ones).
+        start, _ = state
+        return start < n_real
 
     def body(state):
         start, out = state
         pt = jax.lax.dynamic_slice(pair_tile, (start,), (window,))
         psb = jax.lax.dynamic_slice(pair_sb, (start,), (window,))
+        pm = jax.lax.dynamic_slice(pair_mask, (start,), (window,))
         live = (start + jnp.arange(window, dtype=jnp.int32)) < n_real
         pt = jnp.where(live, pt, n_tiles_pad)
+        pm = jnp.where(live, pm, 0)
         fp = jnp.concatenate([
             jnp.ones((1,), jnp.int32),
             (pt[1:] != pt[:-1]).astype(jnp.int32)])
-        out = call(pt, psb, fp, rays, planes, boxes, out)
+        out = call(pt, psb, pm, fp, rays, planes, out)
         return start + window, out
 
     _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), init_out))

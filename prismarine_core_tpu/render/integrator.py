@@ -43,37 +43,43 @@ from prismarine_core_tpu.utils.config import GAP, INF_DIST, RenderConfig
 
 
 def closest_hit(scene: Scene, o, d, cfg: RenderConfig,
-                t_cap=None) -> Hit:
+                t_cap=None, with_order: bool = False):
     """Dispatch to the configured intersector.  ``t_cap`` lets callers
     zero out lanes whose result is unused (dead-lane compaction; only
-    the pallas path exploits it today)."""
+    the pallas path exploits it today).  ``with_order=True`` returns
+    (hit, order) where ``order`` is the pallas path's coherence sort,
+    reusable by the same bounce's shadow query (None elsewhere)."""
+    def ret(hit, order=None):
+        return (hit, order) if with_order else hit
+
     if cfg.intersector == "brute":
-        return intersect_closest_brute(scene.triangles, o, d,
-                                       block=cfg.tri_block)
+        return ret(intersect_closest_brute(scene.triangles, o, d,
+                                           block=cfg.tri_block))
     elif cfg.intersector == "bvh":
         from prismarine_core_tpu.accel.traverse import intersect_closest_bvh
         if scene.bvh is None:
             raise ValueError(
                 "cfg.intersector='bvh' but scene.bvh is None — build it "
                 "with scene.with_bvh() (Scene.assemble does by default)")
-        return intersect_closest_bvh(scene.bvh, scene.triangles, o, d,
-                                     chunk=cfg.traverse_chunk,
-                                     sort=cfg.sort_rays)
+        return ret(intersect_closest_bvh(scene.bvh, scene.triangles,
+                                         o, d, chunk=cfg.traverse_chunk,
+                                         sort=cfg.sort_rays))
     elif cfg.intersector in ("packet", "pallas"):
         from prismarine_core_tpu.accel import packet as pk
         if scene.packets is None:
             raise ValueError("scene.packets is None — build with "
                              "scene.with_bvh()")
         if cfg.intersector == "pallas":
-            return pk.intersect_closest_pallas(
+            hit, order = pk.intersect_closest_pallas(
                 scene.bvh, scene.packets, scene.triangles, o, d,
-                t_cap=t_cap)
-        return pk.intersect_closest_packet(scene.bvh, scene.packets,
-                                           scene.triangles, o, d)
+                t_cap=t_cap, return_order=True)
+            return ret(hit, order)
+        return ret(pk.intersect_closest_packet(
+            scene.bvh, scene.packets, scene.triangles, o, d))
     raise ValueError(f"unknown intersector {cfg.intersector!r}")
 
 
-def occluded(scene: Scene, o, d, t_max, cfg: RenderConfig):
+def occluded(scene: Scene, o, d, t_max, cfg: RenderConfig, order=None):
     if cfg.intersector == "brute":
         return occluded_brute(scene.triangles, o, d, t_max,
                               block=cfg.tri_block)
@@ -90,13 +96,17 @@ def occluded(scene: Scene, o, d, t_max, cfg: RenderConfig):
         if scene.packets is None:
             raise ValueError("scene.packets is None — build with "
                              "scene.with_bvh()")
-        fn = (pk.occluded_pallas if cfg.intersector == "pallas"
-              else pk.occluded_packet)
-        return fn(scene.bvh, scene.packets, scene.triangles, o, d, t_max)
+        if cfg.intersector == "pallas":
+            return pk.occluded_pallas(scene.bvh, scene.packets,
+                                      scene.triangles, o, d, t_max,
+                                      order=order)
+        return pk.occluded_packet(scene.bvh, scene.packets,
+                                  scene.triangles, o, d, t_max)
     raise ValueError(f"unknown intersector {cfg.intersector!r}")
 
 
-def _interpolate_surface(scene: Scene, hit: Hit, d):
+def _interpolate_surface(scene: Scene, hit: Hit, d,
+                         cfg: RenderConfig | None = None):
     """Gather + interpolate triangle attributes at the hit point.
 
     The analog of ``interpolateMeshData`` (``directTraverse.comp:116-180``)
@@ -104,6 +114,11 @@ def _interpolate_surface(scene: Scene, hit: Hit, d):
     Returns dict of per-ray surface fields (garbage where hit.missed —
     callers mask).
     """
+    if cfg is not None and cfg.texture_filter == "bicubic":
+        from prismarine_core_tpu.models.textures import sample_bicubic
+        sample_tex = sample_bicubic
+    else:
+        sample_tex = sample_bilinear
     tri = jnp.maximum(hit.tri, 0)
     soup = scene.triangles
     w = (1.0 - hit.u - hit.v)[:, None]
@@ -123,7 +138,7 @@ def _interpolate_surface(scene: Scene, hit: Hit, d):
     # Tangent-space normal mapping (surface.comp:121-163): perturb the
     # interpolated normal by the bump texture where one is bound.
     has_btex = mat.tex_bump >= 0
-    btex = sample_bilinear(scene.textures, mat.tex_bump, uv)
+    btex = sample_tex(scene.textures, mat.tex_bump, uv)
     e1 = soup.v1[tri] - soup.v0[tri]
     e2 = soup.v2[tri] - soup.v0[tri]
     duv1 = soup.t1[tri] - soup.t0[tri]
@@ -139,17 +154,17 @@ def _interpolate_surface(scene: Scene, hit: Hit, d):
 
     albedo4 = mat.diffuse
     has_tex = mat.tex_diffuse >= 0
-    tex = sample_bilinear(scene.textures, mat.tex_diffuse, uv)
+    tex = sample_tex(scene.textures, mat.tex_diffuse, uv)
     albedo4 = jnp.where(has_tex[:, None], albedo4 * tex, albedo4)
 
     emissive = mat.emissive[:, :3]
     has_etex = mat.tex_emissive >= 0
-    etex = sample_bilinear(scene.textures, mat.tex_emissive, uv)
+    etex = sample_tex(scene.textures, mat.tex_emissive, uv)
     emissive = jnp.where(has_etex[:, None], emissive * etex[:, :3], emissive)
 
     spec = mat.specular
     has_stex = mat.tex_specular >= 0
-    stex = sample_bilinear(scene.textures, mat.tex_specular, uv)
+    stex = sample_tex(scene.textures, mat.tex_specular, uv)
     spec = jnp.where(has_stex[:, None], spec * stex, spec)
 
     return dict(
@@ -167,7 +182,7 @@ def _interpolate_surface(scene: Scene, hit: Hit, d):
 
 
 def _nee_contribution(scene: Scene, cfg: RenderConfig, p, n, ns_raw,
-                      diffuse_beta, u):
+                      diffuse_beta, u, order=None):
     """Next-event estimation toward one uniformly chosen sphere light.
 
     Mirrors ``directLight`` + ``applyLight`` (``shadinglib.glsl:75-93,
@@ -202,7 +217,7 @@ def _nee_contribution(scene: Scene, cfg: RenderConfig, p, n, ns_raw,
     # reference's shadow rays being separate pool entries).
     need = front & (weight > 0.0) & (diffuse_beta > 0.0).any(-1)
     t_query = jnp.where(need, t_light, 0.0)
-    occ = occluded(scene, shadow_o, ldir, t_query, cfg)
+    occ = occluded(scene, shadow_o, ldir, t_query, cfg, order=order)
     vis = need & (~occ) & (t_light < INF_DIST)
     return jnp.where(vis[:, None],
                      diffuse_beta * weight[:, None] * lcolor, 0.0)
@@ -214,14 +229,15 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig):
     def step(carry, u):
         o, d, beta, radiance, alive = carry
         t_cap = jnp.where(alive, INF_DIST, 0.0)
-        hit = closest_hit(scene, o, d, cfg, t_cap=t_cap)
+        hit, order = closest_hit(scene, o, d, cfg, t_cap=t_cap,
+                                 with_order=True)
 
         miss = alive & hit.missed
         env = scene.environment.sample(d)
         radiance = radiance + jnp.where(miss[:, None], beta * env, 0.0)
 
         on_surf = alive & ~hit.missed
-        surf = _interpolate_surface(scene, hit, d)
+        surf = _interpolate_surface(scene, hit, d, cfg)
         p = o + hit.t[:, None] * d
         n = pm.faceforward(surf["shading_normal"], d)
 
@@ -287,7 +303,8 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig):
                 (on_surf & choose_diff)[:, None],
                 beta * surf["albedo"], 0.0)
             radiance = radiance + _nee_contribution(
-                scene, cfg, p, n, surf["shading_normal"], diffuse_beta, u)
+                scene, cfg, p, n, surf["shading_normal"], diffuse_beta,
+                u, order=order)
 
         # Lane liveness: throughput cutoff (rayshading.comp:240).
         new_alive = on_surf & (pm.length(new_beta) > cfg.min_throughput)

@@ -57,6 +57,9 @@ class RenderConfig:
     #: smaller chunks bound each while_loop's iteration count by the
     #: chunk's own worst ray instead of the global worst.
     traverse_chunk: int = 0
+    #: texture filter: "bilinear" (GL_LINEAR) or "bicubic" (the
+    #: reference's textureBicubic, mathlib.glsl:285-319)
+    texture_filter: str = "bilinear"
     #: sort rays by direction octant + origin morton before traversal
     #: (the TPU analog of the reference's wavefront compaction /
     #: optional ray sorting, Pipeline.hpp:101) — coherent chunks
