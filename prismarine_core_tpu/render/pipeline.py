@@ -68,6 +68,17 @@ class ProgressiveRenderer:
             w = jnp.ones_like(self._weight)
         self._accum = self._accum + frame
         self._weight = self._weight + w
+        if self.cfg.samples_lock > 0:
+            # motion-blur sample lock (sampler.comp:84-90): clamp the
+            # accumulated weight to SAMPLES_LOCK-1 after the blend so
+            # the average becomes rolling (old frames decay) instead of
+            # cumulative; exact analog of xsample.w = min(next, LOCK-1)
+            # in sum/weight form.
+            lock = float(self.cfg.samples_lock - 1)
+            scale = jnp.minimum(lock / jnp.maximum(self._weight, 1e-6),
+                                1.0)
+            self._accum = self._accum * scale
+            self._weight = self._weight * scale
         self._n_frames += 1
         return self._accum / jnp.maximum(self._weight, 1.0)
 

@@ -60,6 +60,12 @@ class RenderConfig:
     #: texture filter: "bilinear" (GL_LINEAR) or "bicubic" (the
     #: reference's textureBicubic, mathlib.glsl:285-319)
     texture_filter: str = "bilinear"
+    #: progressive-accumulator history clamp, the motion-blur sample lock
+    #: (``SAMPLES_LOCK 4``, constants.glsl:35; ``sampler.comp:84-90``):
+    #: 0 = plain cumulative average; N > 0 clamps the accumulated weight
+    #: to N-1 after each blend, turning the average into a rolling one so
+    #: animated content keeps updating.
+    samples_lock: int = 0
     #: sort rays by direction octant + origin morton before traversal
     #: (the TPU analog of the reference's wavefront compaction /
     #: optional ray sorting, Pipeline.hpp:101) — coherent chunks

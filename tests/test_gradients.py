@@ -103,28 +103,69 @@ def test_grad_matches_fd_vertices():
     x0 = scene.triangles.v0
     g = np.asarray(jax.grad(lambda x: f(put(scene, x)))(x0))
 
-    # probe vertices of the inner block (mat 3) and a wall
-    eps = 2e-4
-    checked = 0
+    # Systematic sweep with a quantified match rate: probe every
+    # candidate coordinate with non-negligible autodiff gradient (up to
+    # a cap), classify each against central FD, and require a high
+    # match rate.  The FD loss accumulates the weighted image in f64
+    # outside jit — the f32 sum (~300) would otherwise quantize away
+    # eps-sized changes and dominate the FD with rounding noise.
+    # Silhouette-edge crossings make FD and the detached estimator
+    # legitimately disagree on a minority of coordinates
+    # (interior-derivative vs the distributional derivative); the rate
+    # bounds how often that happens at this eps.
+    w64 = np.linspace(0.5, 1.5, CFG.n_pixels * 3).reshape(
+        CFG.height, CFG.width, 3)
+
+    @jax.jit
+    def _img(x):
+        return render_with_samples(put(scene, x), CAM, CFG, cam_s,
+                                   bounce_s)
+
+    def f64(x):
+        return float((np.asarray(_img(x), np.float64) * w64).sum())
+
+    # Classify each coordinate by FD eps-consistency: where central FD
+    # agrees across two epsilons the loss is locally smooth and autodiff
+    # MUST match; where FD explodes/varies with eps a silhouette crossed
+    # within +-eps — the detached estimator's known zero-measure blind
+    # spot (addressed separately by the edge-aware estimator and its
+    # tests).  Smooth points must match at >=90%; discontinuities are
+    # counted and bounded, not silently skipped.
+    eps = 5e-4
     rng = np.random.default_rng(1)
     cand = rng.permutation(int(scene.triangles.num_valid()))
+    probed = smooth = matched = 0
+    mismatches = []
     for tri in cand:
+        if probed >= 40:
+            break
         for axis in range(3):
             idx = (int(tri), axis)
-            if abs(g[idx]) < 1e-3:
+            if abs(g[idx]) < 1e-2:
                 continue
-            xp = x0.at[idx].add(eps)
-            xm = x0.at[idx].add(-eps)
-            fd = (float(f(put(scene, xp)))
-                  - float(f(put(scene, xm)))) / (2 * eps)
-            # discontinuity crossings (silhouette edges) make FD and the
-            # detached estimator legitimately disagree; require most
-            # probed coordinates to match.
-            if fd != 0 and abs(g[idx] - fd) / (abs(fd) + 1e-2) < 0.05:
-                checked += 1
-            if checked >= 5:
-                return
-    assert checked >= 3, f"only {checked} vertex grads matched FD"
+            probed += 1
+
+            def fd_at(e):
+                return (f64(x0.at[idx].add(e))
+                        - f64(x0.at[idx].add(-e))) / (2 * e)
+
+            fd1 = fd_at(eps)
+            fd2 = fd_at(eps / 4)
+            if abs(fd1 - fd2) > 0.1 * (abs(fd1) + abs(fd2)) + 1e-2:
+                continue  # discontinuity crossing within +-eps
+            smooth += 1
+            rel = abs(g[idx] - fd2) / (abs(fd2) + 1e-2)
+            if rel < 0.10:
+                matched += 1
+            else:
+                mismatches.append((idx, float(g[idx]), fd2))
+    assert probed >= 20, f"only {probed} coordinates had |g| >= 1e-2"
+    assert smooth >= 15, (
+        f"only {smooth}/{probed} coordinates were FD-smooth")
+    rate = matched / smooth
+    assert rate >= 0.9, (
+        f"smooth-point FD match rate {matched}/{smooth} = {rate:.2f} "
+        f"< 0.9; mismatches: {mismatches[:5]}")
 
 
 def test_grad_camera_params():
