@@ -210,21 +210,15 @@ def _per_ray_tile_overlap(ot, inv, tct, box_lo, box_hi,
 
 def _block_masks(ot, inv, tct, pair_tile, pair_sb, n_pairs,
                  block_lo, block_hi, window: int = 4096):
-    """Per-pair (subtile x block) masks: bit (s*8 + k) of mask s//2 is
-    set iff some ray of the pair tile's s-th 32-ray SUBTILE slab-passes
-    block ``sb*SB + k``.  Returns (mask_lo, mask_hi) i32[L] holding
-    subtiles 0-1 and 2-3 (16 bits each).
+    """Per-pair 8-bit block mask: bit k set iff some ray of the pair's
+    tile slab-passes block ``sb*SB + k``.
 
     The second cull level, run over the compacted pair list in windows
     (cost adapts to the survivor count).  Writes are contiguous
     ``dynamic_update_slice`` windows — no scatters (the r1 quad builder's
     ~15M-element scatters were the single hottest stage of a query).
-    The kernel consumes the masks as scalar-prefetch arrays and skips
-    masked-off (subtile, block) regions with cheap SMEM-side
-    predication: rays are coherence-sorted, so a 32-ray subtile's block
-    union is much tighter than the whole tile's — for incoherent
-    (bounce) queries this cuts the dense Möller–Trumbore work ~2-3x at
-    unchanged DMA and compaction cost.
+    The kernel consumes the mask as a scalar-prefetch array and skips
+    masked-off sub-blocks with cheap SMEM-side predication.
     """
     nt = ot.shape[0]
     nsb = block_lo.shape[0] // SB
@@ -243,13 +237,13 @@ def _block_masks(ot, inv, tct, pair_tile, pair_sb, n_pairs,
     otp = jnp.concatenate([ot, jnp.zeros((1, TILE, 3), ot.dtype)])
     invp = jnp.concatenate([inv, jnp.ones((1, TILE, 3), inv.dtype)])
     tctp = jnp.concatenate([tct, jnp.zeros((1, TILE), tct.dtype)])
-    bits = (1 << jnp.arange(SB, dtype=jnp.int32))[None, None, :]
+    bits = (1 << jnp.arange(SB, dtype=jnp.int32))[None, :]
 
     def cond(state):
         return state[0] < n_pairs
 
     def body(state):
-        start, mlo, mhi = state
+        start, masks = state
         pt = jax.lax.dynamic_slice(pair_tile, (start,), (window,))
         psb = jax.lax.dynamic_slice(pair_sb, (start,), (window,))
         live = (start + jnp.arange(window, dtype=jnp.int32)) < n_pairs
@@ -265,20 +259,14 @@ def _block_masks(ot, inv, tct, pair_tile, pair_sb, n_pairs,
         tn = jnp.max(jnp.minimum(t0, t1), axis=-1)    # [W, TILE, SB]
         tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
         hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= tc_w[:, :, None])
-        hit = hit & live[:, None, None]
-        # reduce per 32-ray subtile: [W, 4, 32, SB] -> [W, 4, SB]
-        sub = jnp.any(hit.reshape(-1, 4, TILE // 4, SB), axis=2)
-        packed = jnp.sum(jnp.where(sub, bits, 0), axis=2)    # [W, 4]
-        lo16 = packed[:, 0] | (packed[:, 1] << 8)
-        hi16 = packed[:, 2] | (packed[:, 3] << 8)
-        mlo = jax.lax.dynamic_update_slice(mlo, lo16, (start,))
-        mhi = jax.lax.dynamic_update_slice(mhi, hi16, (start,))
-        return start + window, mlo, mhi
+        bm = jnp.any(hit, axis=1) & live[:, None]     # [W, SB]
+        mw = jnp.sum(jnp.where(bm, bits, 0), axis=1)  # [W] i32
+        masks = jax.lax.dynamic_update_slice(masks, mw, (start,))
+        return start + window, masks
 
-    zeros = jnp.zeros((pair_tile.shape[0],), jnp.int32)
-    _, mlo, mhi = jax.lax.while_loop(cond, body,
-                                     (jnp.int32(0), zeros, zeros))
-    return mlo[:lw], mhi[:lw]
+    masks0 = jnp.zeros((pair_tile.shape[0],), jnp.int32)
+    _, masks = jax.lax.while_loop(cond, body, (jnp.int32(0), masks0))
+    return masks[:lw]
 
 
 def _compact_pairs(sb_mask, nsb_sentinel):
@@ -475,8 +463,8 @@ def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
     nsb = ps.n_superblocks
     sb_mask = _per_ray_tile_overlap(ot, inv, tct, ps.sb_lo, ps.sb_hi)
     pair_tile, pair_sb, n_pairs = _compact_pairs(sb_mask, nsb)
-    mask_lo, mask_hi = _block_masks(ot, inv, tct, pair_tile, pair_sb,
-                                    n_pairs, ps.block_lo, ps.block_hi)
+    pair_mask = _block_masks(ot, inv, tct, pair_tile, pair_sb, n_pairs,
+                             ps.block_lo, ps.block_hi)
 
     # rays layout [(nt+1)*TILE, 16]: component columns + 1/d + one
     # padding tile (all-zero: t_cap 0, never hits)
@@ -495,12 +483,10 @@ def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
             [pair_tile, jnp.full((wpad,), nt, jnp.int32)])
         pair_sb = jnp.concatenate(
             [pair_sb, jnp.full((wpad,), nsb, jnp.int32)])
-        mask_lo = jnp.concatenate(
-            [mask_lo, jnp.zeros((wpad,), jnp.int32)])
-        mask_hi = jnp.concatenate(
-            [mask_hi, jnp.zeros((wpad,), jnp.int32)])
+        pair_mask = jnp.concatenate(
+            [pair_mask, jnp.zeros((wpad,), jnp.int32)])
     out = pallas_sb_intersect_windowed(
-        pair_tile, pair_sb, mask_lo, mask_hi, n_pairs, rays, ps.planes,
+        pair_tile, pair_sb, pair_mask, n_pairs, rays, ps.planes,
         window=window)
     out = out.reshape(nt + 1, TILE, 8)[:nt]
     t = out[:, :, 0]

@@ -74,11 +74,7 @@ RAY_COLS = 16
 OC_T, OC_SLOT = range(2)
 
 
-SUBT = 4                    # 32-ray subtiles per tile
-SUBR = TILE // SUBT         # rays per subtile
-
-
-def _sb_kernel(pair_tile, pair_sb, mask_lo, mask_hi, first_pair,
+def _sb_kernel(pair_tile, pair_sb, pair_mask, first_pair,
                ray_ref,                        # [TILE, 16]
                tri_ref,                        # [1, 16, SB*BLOCK]
                prior_ref,                      # [TILE, 8]
@@ -92,88 +88,76 @@ def _sb_kernel(pair_tile, pair_sb, mask_lo, mask_hi, first_pair,
         # t_cap/-1 initialization on the first window).
         out_ref[:, :] = prior_ref[:, :]
 
+    def rcol(c):
+        return ray_ref[:, c][:, None]
+
+    rox, roy, roz = rcol(RC_OX), rcol(RC_OY), rcol(RC_OZ)
+    rdx, rdy, rdz = rcol(RC_DX), rcol(RC_DY), rcol(RC_DZ)
+
     base_slot = pair_sb[i] * (SB * BLOCK)
-    colid = jax.lax.broadcasted_iota(jnp.int32, (SUBR, 8), 1)
+    mask = pair_mask[i]
 
-    # (subtile s, block k) regions run only when mask bit (s*8+k) is
-    # set; subtiles index bits 0-7 / 8-15 of mask_lo (s=0,1) and
-    # mask_hi (s=2,3).
-    for srow, m in ((0, mask_lo[i]), (2, mask_hi[i])):
-        for ds in range(2):
-            s0 = srow + ds
-            r0 = s0 * SUBR
-            for k in range(SB):
-                @pl.when((m >> (ds * 8 + k)) & 1 == 1)
-                def _mt(k=k, r0=r0):
-                    def rcol(c):
-                        return ray_ref[r0:r0 + SUBR, c][:, None]
+    for k in range(SB):
+        @pl.when((mask >> k) & 1 == 1)
+        def _mt(k=k):
+            def trow(c):
+                return tri_ref[0, c,
+                               k * BLOCK:(k + 1) * BLOCK][None, :]
 
-                    rox, roy, roz = (rcol(RC_OX), rcol(RC_OY),
-                                     rcol(RC_OZ))
-                    rdx, rdy, rdz = (rcol(RC_DX), rcol(RC_DY),
-                                     rcol(RC_DZ))
+            best = out_ref[:, OC_T]
+            slot_best = jax.lax.bitcast_convert_type(
+                out_ref[:, OC_SLOT], jnp.int32)
 
-                    def trow(c):
-                        return tri_ref[0, c,
-                                       k * BLOCK:(k + 1) * BLOCK][None, :]
+            e1x, e1y, e1z = trow(TC_E1X), trow(TC_E1Y), trow(TC_E1Z)
+            e2x, e2y, e2z = trow(TC_E2X), trow(TC_E2Y), trow(TC_E2Z)
 
-                    best = out_ref[r0:r0 + SUBR, OC_T]
-                    slot_best = jax.lax.bitcast_convert_type(
-                        out_ref[r0:r0 + SUBR, OC_SLOT], jnp.int32)
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv = 1.0 / jnp.where(jnp.abs(det) < _DET_EPS,
+                                  _DET_EPS, det)
 
-                    e1x, e1y, e1z = (trow(TC_E1X), trow(TC_E1Y),
-                                     trow(TC_E1Z))
-                    e2x, e2y, e2z = (trow(TC_E2X), trow(TC_E2Y),
-                                     trow(TC_E2Z))
+            sx = rox - trow(TC_V0X)
+            sy = roy - trow(TC_V0Y)
+            sz = roz - trow(TC_V0Z)
+            uu = (sx * px + sy * py + sz * pz) * inv
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = (rdx * qx + rdy * qy + rdz * qz) * inv
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv
 
-                    px = rdy * e2z - rdz * e2y
-                    py = rdz * e2x - rdx * e2z
-                    pz = rdx * e2y - rdy * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    inv = 1.0 / jnp.where(jnp.abs(det) < _DET_EPS,
-                                          _DET_EPS, det)
+            ok = ((jnp.abs(det) >= _DET_EPS)
+                  & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                  & (tt > PZERO) & (trow(TC_VALID) > 0.5))
+            tt = jnp.where(ok & (tt < best[:, None]), tt, INF_DIST)
 
-                    sx = rox - trow(TC_V0X)
-                    sy = roy - trow(TC_V0Y)
-                    sz = roz - trow(TC_V0Z)
-                    uu = (sx * px + sy * py + sz * pz) * inv
-                    qx = sy * e1z - sz * e1y
-                    qy = sz * e1x - sx * e1z
-                    qz = sx * e1y - sy * e1x
-                    vv = (rdx * qx + rdy * qy + rdz * qz) * inv
-                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+            j = jnp.argmin(tt, axis=1)                     # [TILE]
+            tj = jnp.min(tt, axis=1)
+            better = tj < best
 
-                    ok = ((jnp.abs(det) >= _DET_EPS)
-                          & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                          & (tt > PZERO) & (trow(TC_VALID) > 0.5))
-                    tt = jnp.where(ok & (tt < best[:, None]), tt,
-                                   INF_DIST)
+            best = jnp.where(better, tj, best)
+            slot_best = jnp.where(better,
+                                  base_slot + k * BLOCK + j,
+                                  slot_best)
 
-                    j = jnp.argmin(tt, axis=1)             # [SUBR]
-                    tj = jnp.min(tt, axis=1)
-                    better = tj < best
-
-                    best = jnp.where(better, tj, best)
-                    slot_best = jnp.where(better,
-                                          base_slot + k * BLOCK + j,
-                                          slot_best)
-
-                    out = jnp.where(colid == OC_T, best[:, None],
-                                    out_ref[r0:r0 + SUBR, :])
-                    out = jnp.where(
-                        colid == OC_SLOT,
-                        jax.lax.bitcast_convert_type(
-                            slot_best, jnp.float32)[:, None],
-                        out)
-                    out_ref[r0:r0 + SUBR, :] = out
+            colid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 1)
+            out = jnp.where(colid == OC_T, best[:, None],
+                            out_ref[:, :])
+            out = jnp.where(
+                colid == OC_SLOT,
+                jax.lax.bitcast_convert_type(
+                    slot_best, jnp.float32)[:, None],
+                out)
+            out_ref[:, :] = out
 
 
 @partial(jax.jit, static_argnames=("window",))
 def pallas_sb_intersect_windowed(
     pair_tile,               # i32[L] pair list, tile-major; pad -> nt
     pair_sb,                 # i32[L] superblock ids (pad -> sentinel)
-    mask_lo,                 # i32[L] subtile 0-1 block masks (pad -> 0)
-    mask_hi,                 # i32[L] subtile 2-3 block masks (pad -> 0)
+    pair_mask,               # i32[L] 8-bit per-block masks (pad -> 0)
     n_real: jax.Array,       # i32[] number of real pairs
     rays,                    # f32[(nt+1)*TILE, 16]
     planes,                  # f32[nsb+1, 16, SB*BLOCK] (last = sentinel)
@@ -191,22 +175,22 @@ def pallas_sb_intersect_windowed(
     n_tiles_pad = n_rows // TILE - 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(window,),
         in_specs=[
             pl.BlockSpec((TILE, RAY_COLS),
-                         lambda i, pt, psb, ml, mh, fp: (pt[i], 0),
+                         lambda i, pt, psb, pm, fp: (pt[i], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16, SB * BLOCK),
-                         lambda i, pt, psb, ml, mh, fp: (psb[i], 0, 0),
+                         lambda i, pt, psb, pm, fp: (psb[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 8),
-                         lambda i, pt, psb, ml, mh, fp: (pt[i], 0),
+                         lambda i, pt, psb, pm, fp: (pt[i], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (TILE, 8),
-            lambda i, pt, psb, ml, mh, fp: (pt[i], 0),
+            lambda i, pt, psb, pm, fp: (pt[i], 0),
             memory_space=pltpu.VMEM),
     )
 
@@ -217,10 +201,10 @@ def pallas_sb_intersect_windowed(
         _sb_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, 8), jnp.float32),
-        # prior (input 7 = 5 scalar-prefetch + rays + planes + prior)
+        # prior (input 6 = 4 scalar-prefetch + rays + planes + prior)
         # aliases the output: tiles untouched by a window keep their
         # carried values in place, so the driver needs no merge pass.
-        input_output_aliases={7: 0},
+        input_output_aliases={6: 0},
         interpret=interpret,
     )
 
@@ -244,16 +228,14 @@ def pallas_sb_intersect_windowed(
         start, out = state
         pt = jax.lax.dynamic_slice(pair_tile, (start,), (window,))
         psb = jax.lax.dynamic_slice(pair_sb, (start,), (window,))
-        ml = jax.lax.dynamic_slice(mask_lo, (start,), (window,))
-        mh = jax.lax.dynamic_slice(mask_hi, (start,), (window,))
+        pm = jax.lax.dynamic_slice(pair_mask, (start,), (window,))
         live = (start + jnp.arange(window, dtype=jnp.int32)) < n_real
         pt = jnp.where(live, pt, n_tiles_pad)
-        ml = jnp.where(live, ml, 0)
-        mh = jnp.where(live, mh, 0)
+        pm = jnp.where(live, pm, 0)
         fp = jnp.concatenate([
             jnp.ones((1,), jnp.int32),
             (pt[1:] != pt[:-1]).astype(jnp.int32)])
-        out = call(pt, psb, ml, mh, fp, rays, planes, out)
+        out = call(pt, psb, pm, fp, rays, planes, out)
         return start + window, out
 
     _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), init_out))
