@@ -6,12 +6,25 @@ ratio against a fixed reference-class figure of 100 Mrays/s (interactive
 RX-Vega-class wavefront tracing at 720p, the reference's demonstrated
 config), so the number is comparable across rounds.
 
-Ray accounting: every bounce issues one closest-hit and one shadow
-(any-hit) query per lane, so rays = n_rays * bounces * 2.
+Ray accounting is HONEST (live-lane counted): the integrator's
+per-bounce counters report how many lanes actually entered each
+closest-hit query and how many NEE shadow lanes were issued; dead /
+terminated lanes are not counted (the r1 bench counted
+n_rays * bounces * 2 regardless of liveness — an overcount).
+
+Timing forces a value readback per measured frame: on the axon tunnel
+backend ``block_until_ready`` alone has been observed to return early.
+
+Secondary configs (reported to stderr only, keeping the one-line stdout
+contract): BASELINE config 2 (teapot-class OBJ at 512x512, flat
+traversal scene) and the main hall WITH an equirect HDR sky through
+``Environment.from_image`` (exercising the image-based envmap path at
+bench scale).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import sys
 import time
@@ -21,54 +34,76 @@ import jax
 REFERENCE_CLASS_RAYS_PER_S = 100e6
 
 
-def main():
+def _run_config(name, scene, camera, cfg, n_frames=3):
     import numpy as np
 
-    from prismarine_core_tpu.models.camera import Camera
-    from prismarine_core_tpu.models.procedural import make_hall_scene
     from prismarine_core_tpu.ops.sampling import make_sample_arrays
     from prismarine_core_tpu.render.integrator import render_with_samples
-    from prismarine_core_tpu.utils.config import RenderConfig
-
-    n_tris = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    width, height = 1280, 720
-    cfg = RenderConfig(width=width, height=height, spp=1, max_bounces=4,
-                       intersector="pallas", bvh_leaf_size=4)
-    print(f"[bench] devices={jax.devices()}", file=sys.stderr)
-    scene = make_hall_scene(target_tris=n_tris)
-    scene = jax.device_put(scene)
-    print(f"[bench] scene tris={int(scene.triangles.num_valid())} "
-          f"bvh nodes={scene.bvh.n_nodes}", file=sys.stderr)
-    camera = Camera.look_at(eye=(-10.0, 2.2, 0.0), target=(6.0, 1.6, 0.0),
-                            fov_y_deg=60.0)
 
     cam_s, bounce_s = make_sample_arrays(
         jax.random.key(0), cfg.n_rays, cfg.max_bounces)
 
-    def frame(key):
-        return render_with_samples(scene, camera, cfg, cam_s, bounce_s)
-
     t0 = time.perf_counter()
-    img = jax.block_until_ready(frame(jax.random.key(0)))
+    img, stats = render_with_samples(scene, camera, cfg, cam_s, bounce_s,
+                                     with_stats=True)
+    mean = float(img.mean())                      # forces the readback
     compile_s = time.perf_counter() - t0
-    print(f"[bench] first frame (incl. compile): {compile_s:.1f}s; "
-          f"image mean={float(img.mean()):.4f}", file=sys.stderr)
     assert bool(jax.numpy.isfinite(img).all()), "non-finite image"
+    stats = np.asarray(stats)
+    # honest ray count: live lanes entering each closest-hit query plus
+    # issued NEE shadow lanes
+    rays = int(stats[:, 0].sum() + stats[:, 4].sum()) * cfg.spp
 
-    n_frames = 3
     t0 = time.perf_counter()
     for i in range(n_frames):
-        img = frame(jax.random.key(i))
-    jax.block_until_ready(img)
+        img = render_with_samples(scene, camera, cfg, cam_s, bounce_s)
+        float(img.mean())
     dt = (time.perf_counter() - t0) / n_frames
 
-    rays = cfg.n_rays * cfg.max_bounces * 2
     rays_per_s = rays / dt
-    print(f"[bench] {dt*1e3:.1f} ms/frame -> {rays_per_s/1e6:.2f} Mrays/s",
-          file=sys.stderr)
+    live_frac = rays / (cfg.n_rays * cfg.max_bounces * 2 * cfg.spp)
+    print(f"[bench] {name}: {dt*1e3:.1f} ms/frame, {rays:,} live rays "
+          f"({live_frac:.0%} of nominal) -> {rays_per_s/1e6:.2f} Mrays/s "
+          f"(mean={mean:.4f}, compile {compile_s:.1f}s)", file=sys.stderr)
+    return rays_per_s
+
+
+def main():
+    from prismarine_core_tpu.models.camera import Camera
+    from prismarine_core_tpu.models.procedural import (
+        make_hall_scene, make_sky_environment, make_teapot_scene)
+    from prismarine_core_tpu.utils.config import RenderConfig
+
+    n_tris = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    full = len(sys.argv) > 2 and sys.argv[2] == "--all"
+
+    print(f"[bench] devices={jax.devices()}", file=sys.stderr)
+
+    # main metric: sponza-class hall, 720p, 4 bounces, HDR equirect sky
+    cfg = RenderConfig(width=1280, height=720, spp=1, max_bounces=4,
+                       intersector="pallas", bvh_leaf_size=4)
+    scene = make_hall_scene(target_tris=n_tris)
+    scene = dataclasses.replace(
+        scene, environment=make_sky_environment(resolution=128))
+    scene = jax.device_put(scene)
+    print(f"[bench] scene tris={int(scene.triangles.num_valid())} "
+          f"bvh nodes={scene.bvh.n_nodes} envmap="
+          f"{tuple(scene.environment.image.shape)}", file=sys.stderr)
+    camera = Camera.look_at(eye=(-10.0, 2.2, 0.0), target=(6.0, 1.6, 0.0),
+                            fov_y_deg=60.0)
+    rays_per_s = _run_config("hall-720p-hdr-sky", scene, camera, cfg)
+
+    if full:
+        # BASELINE config 2: teapot-class object at 512^2
+        tcfg = RenderConfig(width=512, height=512, spp=1, max_bounces=4,
+                            intersector="pallas")
+        tscene = jax.device_put(make_teapot_scene())
+        tcam = Camera.look_at(eye=(5.0, 3.2, 6.0), target=(0.0, 1.0, 0.0),
+                              fov_y_deg=45.0)
+        _run_config("teapot-512", tscene, tcam, tcfg)
 
     print(json.dumps({
-        "metric": "rays_per_second_sponza_class_720p_4bounce",
+        "metric": "rays_per_second_sponza_class_720p_4bounce_live",
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / REFERENCE_CLASS_RAYS_PER_S,

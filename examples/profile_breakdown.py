@@ -68,7 +68,7 @@ def main():
 
         @jax.jit
         def sort_stage(oo, dd, tc):
-            return pk._sort_pad_rays(bvh, oo, dd, tc)
+            return pk._sort_pad_rays(bvh.lo[0], bvh.hi[0], oo, dd, tc)
 
         (os_, ds_, tc_, _, _), _ = timeit(sort_stage, oo, dd, t_cap,
                                           label="ray sort+pad")
@@ -113,13 +113,13 @@ def main():
 
         @jax.jit
         def full_query(oo, dd, t_cap):
-            return pk._run_packet_pallas(bvh, ps, oo, dd, t_cap, False)
+            return pk._run_packet_pallas(bvh.lo[0], bvh.hi[0], ps, oo, dd, t_cap, False)
 
         timeit(full_query, oo, dd, t_cap, label="full closest-hit query")
 
         @jax.jit
         def shadow_query(oo, dd, t_cap):
-            return pk._run_packet_pallas(bvh, ps, oo, dd, t_cap, True)
+            return pk._run_packet_pallas(bvh.lo[0], bvh.hi[0], ps, oo, dd, t_cap, True)
 
         timeit(shadow_query, oo, dd,
                jnp.full((r,), 30.0), label="full any-hit query")

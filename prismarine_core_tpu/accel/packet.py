@@ -43,7 +43,7 @@ from prismarine_core_tpu.utils.config import INF_DIST, PZERO
 
 TILE = 128      # rays per tile
 BLOCK = 128     # triangle slots per block
-SB = 8          # blocks per superblock (dense-cull granularity)
+SB = 8      # blocks per superblock (dense-cull granularity)
 
 
 @jax.tree_util.register_dataclass
@@ -170,7 +170,7 @@ def _interval_overlap(o_lo, o_hi, inv_lo, inv_hi, blk_lo, blk_hi, t_hi):
 
 
 def _per_ray_tile_overlap(ot, inv, tct, box_lo, box_hi,
-                          chunk: int = 32):
+                          chunk: int = 32, return_tn: bool = False):
     """Exact per-tile candidate mask at ``box`` granularity: a tile lists
     a box iff some ray in it actually passes the slab test.
 
@@ -179,6 +179,10 @@ def _per_ray_tile_overlap(ot, inv, tct, box_lo, box_hi,
     toward 'every box'; testing the 128 rays individually and
     OR-reducing is dense VPU work that XLA fuses into the reduction.
     Dead lanes (t_cap == 0) contribute nothing.
+
+    ``return_tn``: also return f32[nt, nbx] — the min entry distance
+    over the tile's hitting rays (INF_DIST where none) — used to pick
+    each tile's nearest superblock for the two-pass ordered query.
     """
     nt = ot.shape[0]
     nbx = box_lo.shape[0]
@@ -197,15 +201,21 @@ def _per_ray_tile_overlap(ot, inv, tct, box_lo, box_hi,
         tn = jnp.max(jnp.minimum(t0, t1), axis=-1)  # [C, TILE, nbx]
         tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
         hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= tc_c[:, :, None])
-        return None, jnp.any(hit, axis=1)           # [C, nbx]
+        any_hit = jnp.any(hit, axis=1)               # [C, nbx]
+        if not return_tn:
+            return None, (any_hit,)
+        tn_min = jnp.min(
+            jnp.where(hit, jnp.maximum(tn, 0.0), INF_DIST), axis=1)
+        return None, (any_hit, tn_min)
 
     n_chunks = ot.shape[0] // chunk
-    _, out = jax.lax.scan(
+    _, outs = jax.lax.scan(
         step, None,
         (ot.reshape(n_chunks, chunk, TILE, 3),
          inv.reshape(n_chunks, chunk, TILE, 3),
          tct.reshape(n_chunks, chunk, TILE)))
-    return out.reshape(-1, nbx)[:nt]
+    outs = tuple(o.reshape(-1, nbx)[:nt] for o in outs)
+    return outs if return_tn else outs[0]
 
 
 def _block_masks(ot, inv, tct, pair_tile, pair_sb, n_pairs,
@@ -410,7 +420,7 @@ def _packet_core(bvh: BVH, ps: PacketSet, o, d, t_cap, any_hit: bool):
             bv.reshape(r))
 
 
-def _sort_pad_rays(bvh: BVH, o, d, t_cap, order=None):
+def _sort_pad_rays(root_lo, root_hi, o, d, t_cap, order=None):
     """Coherence-sort rays and pad to a TILE multiple.
 
     ``order`` (perm, inv_perm) reuses a previous query's sort — shadow
@@ -420,7 +430,7 @@ def _sort_pad_rays(bvh: BVH, o, d, t_cap, order=None):
     Returns (o, d, t_cap, (perm, inv_perm), n_orig)."""
     r = o.shape[0]
     if order is None:
-        keys = _ray_sort_keys(bvh.lo[0], bvh.hi[0], o, d)
+        keys = _ray_sort_keys(root_lo, root_hi, o, d)
         iota = jnp.arange(r, dtype=jnp.int32)
         _, perm = jax.lax.sort((keys, iota), num_keys=1)
         inv_perm = jnp.zeros((r,), jnp.int32).at[perm].set(iota)
@@ -438,18 +448,42 @@ def _sort_pad_rays(bvh: BVH, o, d, t_cap, order=None):
     return o, d, t_cap, (perm, inv_perm), r
 
 
-def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
+def _run_kernel(pair_tile, pair_sb, pair_mask, n_real, rays, planes,
+                nt, nsb, window):
+    """Pad a pair list to a window multiple and run the Pallas kernel."""
+    from prismarine_core_tpu.ops.pallas_intersect import (
+        pallas_sb_intersect_windowed)
+    window = min(window, int(pair_tile.shape[0]))
+    wpad = (-int(pair_tile.shape[0])) % window
+    if wpad:
+        pair_tile = jnp.concatenate(
+            [pair_tile, jnp.full((wpad,), nt, jnp.int32)])
+        pair_sb = jnp.concatenate(
+            [pair_sb, jnp.full((wpad,), nsb, jnp.int32)])
+        pair_mask = jnp.concatenate(
+            [pair_mask, jnp.zeros((wpad,), jnp.int32)])
+    return pallas_sb_intersect_windowed(
+        pair_tile, pair_sb, pair_mask, n_real, rays, planes,
+        window=window)
+
+
+def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
                        any_hit: bool = False, window: int = 1024,
                        order=None):
     """Pallas fast path: sort+tile rays, dense superblock cull, compact
-    pairs + block masks, run the kernel (ops/pallas_intersect.py),
-    unsort.  ``any_hit`` only affects semantics upstream (t_cap holds
-    the light distance); the kernel computation is identical.
-    Returns (t, slot, order)."""
-    from prismarine_core_tpu.ops.pallas_intersect import (
-        RAY_COLS, pallas_sb_intersect_windowed)
+    pairs + per-pair block masks, run the kernel
+    (ops/pallas_intersect.py), unsort.
 
-    o, d, t_cap, order, r = _sort_pad_rays(bvh, o, d, t_cap, order)
+    ``any_hit`` only affects semantics upstream (t_cap holds the light
+    distance); the kernel computation is identical.  (An ordered
+    two-pass variant — intersect each tile's nearest superblock, then
+    re-cull with tightened caps — was measured and REMOVED: the nearest
+    superblock by box entry contains the actual hit for only ~1-2% of
+    rays on Morton-ordered blocks, so the second pass did full work and
+    the extra cull stages cost ~80 ms/frame.)  Returns (t, slot, order).
+    """
+    o, d, t_cap, order, r = _sort_pad_rays(root_lo, root_hi, o, d,
+                                           t_cap, order)
     rp = o.shape[0]
     nt = rp // TILE
 
@@ -457,14 +491,9 @@ def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
     dt = d.reshape(nt, TILE, 3)
     tct = t_cap.reshape(nt, TILE)
     inv = _safe_inv(dt)
-
-    # dense exact cull at superblock granularity + pair compaction +
-    # per-pair block masks (the second cull level)
     nsb = ps.n_superblocks
-    sb_mask = _per_ray_tile_overlap(ot, inv, tct, ps.sb_lo, ps.sb_hi)
-    pair_tile, pair_sb, n_pairs = _compact_pairs(sb_mask, nsb)
-    pair_mask = _block_masks(ot, inv, tct, pair_tile, pair_sb, n_pairs,
-                             ps.block_lo, ps.block_hi)
+
+    from prismarine_core_tpu.ops.pallas_intersect import RAY_COLS
 
     # rays layout [(nt+1)*TILE, 16]: component columns + 1/d + one
     # padding tile (all-zero: t_cap 0, never hits)
@@ -475,19 +504,15 @@ def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
     rays = rays.at[:nt, :, 8:11].set(inv)
     rays = rays.reshape((nt + 1) * TILE, RAY_COLS)
 
-    # pad the pair list to a window multiple so dynamic_slice never clamps
-    window = min(window, int(pair_tile.shape[0]))
-    wpad = (-int(pair_tile.shape[0])) % window
-    if wpad:
-        pair_tile = jnp.concatenate(
-            [pair_tile, jnp.full((wpad,), nt, jnp.int32)])
-        pair_sb = jnp.concatenate(
-            [pair_sb, jnp.full((wpad,), nsb, jnp.int32)])
-        pair_mask = jnp.concatenate(
-            [pair_mask, jnp.zeros((wpad,), jnp.int32)])
-    out = pallas_sb_intersect_windowed(
-        pair_tile, pair_sb, pair_mask, n_pairs, rays, ps.planes,
-        window=window)
+    # dense exact cull at superblock granularity + pair compaction +
+    # per-pair block masks (the second cull level)
+    sb_mask = _per_ray_tile_overlap(ot, inv, tct, ps.sb_lo, ps.sb_hi)
+    pair_tile, pair_sb, n_pairs = _compact_pairs(sb_mask, nsb)
+    pair_mask = _block_masks(ot, inv, tct, pair_tile, pair_sb, n_pairs,
+                             ps.block_lo, ps.block_hi)
+    out = _run_kernel(pair_tile, pair_sb, pair_mask, n_pairs, rays,
+                      ps.planes, nt, nsb, window)
+
     out = out.reshape(nt + 1, TILE, 8)[:nt]
     t = out[:, :, 0]
     slot = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32)
@@ -499,7 +524,8 @@ def _run_packet_pallas(bvh: BVH, ps: PacketSet, o, d, t_cap,
 
 def _run_packet(bvh: BVH, ps: PacketSet, o, d, t_cap, any_hit: bool):
     """Sort rays, pad to a tile multiple, run the packet core, unsort."""
-    o, d, t_cap, order, r = _sort_pad_rays(bvh, o, d, t_cap)
+    o, d, t_cap, order, r = _sort_pad_rays(bvh.lo[0], bvh.hi[0], o, d,
+                                           t_cap)
     t, slot, u, v = _packet_core(bvh, ps, o, d, t_cap, any_hit)
     t, slot = t[:r], slot[:r]
     return t[order[1]], slot[order[1]]
@@ -553,7 +579,7 @@ def intersect_closest_pallas(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
     if t_cap is None:
         t_cap = jnp.full((o.shape[0],), INF_DIST)
     _, slot, order = _run_packet_pallas(
-        sg(bvh), sg(ps), sg(o), sg(d), sg(t_cap))
+        sg(bvh.lo[0]), sg(bvh.hi[0]), sg(ps), sg(o), sg(d), sg(t_cap))
     hit = _reeval_hit(bvh, soup, o, d, slot)
     return (hit, order) if return_order else hit
 
@@ -563,6 +589,7 @@ def occluded_pallas(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
     """Any-hit query.  ``order`` reuses a closest query's ray sort
     (shadow origins = that query's hit points, so coherence carries)."""
     sg = jax.lax.stop_gradient
-    _, slot, _ = _run_packet_pallas(sg(bvh), sg(ps), sg(o), sg(d),
-                                    sg(t_max), any_hit=True, order=order)
+    _, slot, _ = _run_packet_pallas(sg(bvh.lo[0]), sg(bvh.hi[0]),
+                                    sg(ps), sg(o), sg(d), sg(t_max),
+                                    any_hit=True, order=order)
     return slot >= 0

@@ -123,3 +123,98 @@ def make_hall_scene(target_tris: int = 100_000, seed: int = 0,
         Environment.constant((0.35, 0.45, 0.65)),
         build_bvh=build_bvh)
     return scene
+
+
+def make_teapot_scene(capacity: int | None = None,
+                      build_bvh: bool = True) -> Scene:
+    """Teapot-class single object on a ground plane (BASELINE config 2
+    names ``teapot.obj``; no asset ships with the reference, so this is
+    a deterministic surface-of-revolution body + handle + spout of
+    comparable triangle count, ~6.3k)."""
+    parts = []
+    # body: surface of revolution with a teapot-ish profile
+    prof_t = np.linspace(0.0, 1.0, 24)
+    radius = (0.45 + 1.45 * np.sin(np.pi * prof_t ** 0.8)
+              * (1.0 - 0.35 * prof_t))
+    height = 2.2 * prof_t
+    segs = 64
+    ang = np.linspace(0, 2 * np.pi, segs, endpoint=False)
+    rings = []
+    for r, h in zip(radius, height):
+        rings.append(np.stack([r * np.cos(ang),
+                               np.full(segs, h),
+                               r * np.sin(ang)], axis=1))
+    verts = np.concatenate(rings).astype(np.float32)
+    faces = []
+    for i in range(len(rings) - 1):
+        for c in range(segs):
+            c2 = (c + 1) % segs
+            a, b = i * segs + c, i * segs + c2
+            d, e = (i + 1) * segs + c, (i + 1) * segs + c2
+            faces.append([a, d, e])
+            faces.append([a, e, b])
+    parts.append((verts, np.asarray(faces, np.int64),
+                  np.full(len(faces), 0, np.int32)))
+    # lid knob
+    parts.append(_sphere_mesh((0.0, 2.35, 0.0), 0.22, 8, 16, 0))
+    # spout + handle as bent tubes (cylinder segments)
+    for k in range(6):
+        t = k / 6.0
+        parts.append(_cylinder((1.5 + 0.9 * t, 0.7 + 1.0 * t, 0.0),
+                               0.16 - 0.08 * t, 0.25, 12, 0))
+    for k in range(8):
+        a = np.pi * (0.25 + 0.5 * k / 8.0)
+        parts.append(_cylinder((-1.35 - 0.55 * np.sin(a),
+                                1.15 + 0.75 * np.cos(a), 0.0),
+                               0.1, 0.22, 10, 0))
+    # ground plane
+    parts.append(make_box((-8, -0.2, -8), (8, 0.0, 8), mat_id=1))
+
+    verts, faces, mids = merge_meshes(parts)
+    soup = TriangleSoup.from_arrays(verts, faces, mat_ids=mids,
+                                    capacity=capacity)
+    mats = MaterialTable.build([
+        {"diffuse": (0.75, 0.71, 0.68), "roughness": 0.15,
+         "metallic": 0.7},
+        {"diffuse": (0.5, 0.5, 0.52), "roughness": 0.7},
+    ])
+    return Scene.assemble(
+        soup, mats, SphereLights.suns(),
+        make_sky_environment(resolution=128), build_bvh=build_bvh)
+
+
+def make_sky_environment(resolution: int = 256,
+                         sun_dir=(0.5, 0.6, 0.3),
+                         turbidity: float = 2.5) -> Environment:
+    """Procedural HDR equirect sky (gradient + sun disc + horizon glow),
+    fed through ``Environment.from_image`` — exercises the image-based
+    envmap path at bench scale (the reference ships .jpg backgrounds,
+    ``Resources/background2.jpg``, loaded in ``Application.hpp:28-57``)."""
+    h, w = resolution, 2 * resolution
+    v = (np.arange(h) + 0.5) / h
+    u = (np.arange(w) + 0.5) / w
+    uu, vv = np.meshgrid(u, v)
+    theta = np.pi * vv                  # 0 = up
+    phi = 2 * np.pi * (uu - 0.5)
+    d = np.stack([np.sin(theta) * np.cos(phi),
+                  np.cos(theta),
+                  np.sin(theta) * np.sin(phi)], axis=-1)
+    sd = np.asarray(sun_dir, np.float64)
+    sd = sd / np.linalg.norm(sd)
+    cos_sun = np.clip((d * sd).sum(-1), -1, 1)
+    elev = np.clip(d[..., 1], -1, 1)
+
+    zenith = np.array([0.25, 0.45, 0.95])
+    horizon = np.array([0.9, 0.8, 0.7])
+    t = np.clip(elev, 0, 1) ** (1.0 / turbidity)
+    sky = horizon[None, None] * (1 - t[..., None]) \
+        + zenith[None, None] * t[..., None]
+    sky *= np.clip(0.15 + 0.85 * np.clip(elev + 0.1, 0, 1) ** 0.5,
+                   0.05, 1.0)[..., None]
+    # sun disc + glow (HDR values well above 1)
+    sun = np.exp((cos_sun - 1.0) * 2500.0)[..., None] * \
+        np.array([80.0, 72.0, 60.0])
+    glow = np.exp((cos_sun - 1.0) * 12.0)[..., None] * \
+        np.array([1.2, 1.0, 0.7])
+    img = (sky + sun + glow).astype(np.float32)
+    return Environment.from_image(img)

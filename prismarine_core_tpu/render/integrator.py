@@ -219,8 +219,9 @@ def _nee_contribution(scene: Scene, cfg: RenderConfig, p, n, ns_raw,
     t_query = jnp.where(need, t_light, 0.0)
     occ = occluded(scene, shadow_o, ldir, t_query, cfg, order=order)
     vis = need & (~occ) & (t_light < INF_DIST)
-    return jnp.where(vis[:, None],
-                     diffuse_beta * weight[:, None] * lcolor, 0.0)
+    contrib = jnp.where(vis[:, None],
+                        diffuse_beta * weight[:, None] * lcolor, 0.0)
+    return contrib, jnp.sum(need.astype(jnp.int32))
 
 
 def make_bounce_step(scene: Scene, cfg: RenderConfig):
@@ -298,13 +299,15 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig):
         new_o = p + new_d * GAP
 
         # NEE from the diffuse branch (rayshading.comp:270-274).
+        n_shadow = jnp.int32(0)
         if cfg.direct_light and scene.lights.count > 0:
             diffuse_beta = jnp.where(
                 (on_surf & choose_diff)[:, None],
                 beta * surf["albedo"], 0.0)
-            radiance = radiance + _nee_contribution(
+            nee, n_shadow = _nee_contribution(
                 scene, cfg, p, n, surf["shading_normal"], diffuse_beta,
                 u, order=order)
+            radiance = radiance + nee
 
         # Lane liveness: throughput cutoff (rayshading.comp:240).
         new_alive = on_surf & (pm.length(new_beta) > cfg.min_throughput)
@@ -319,6 +322,7 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig):
             jnp.sum(on_surf.astype(jnp.int32)),    # surface interactions
             jnp.sum(miss.astype(jnp.int32)),       # env terminations
             jnp.sum(new_alive.astype(jnp.int32)),  # survivors
+            n_shadow,                              # NEE shadow lanes
         ])
         return (new_o, new_d, new_beta, radiance, new_alive), stats
 
@@ -370,8 +374,8 @@ def render_with_samples(
     analog of one full frame of ``Viewer.cpp:284-315``.  With
     ``cfg.interlace``, pixels of the inactive checkerboard parity come
     back zero (the progressive pipeline tracks per-pixel weights).
-    ``with_stats=True`` additionally returns i32[bounces, 4] per-bounce
-    lane counters [entering, surface, env-miss, surviving].
+    ``with_stats=True`` additionally returns i32[bounces, 5] per-bounce
+    lane counters [entering, surface, env-miss, surviving, NEE-shadow].
     """
     o, d = generate_rays(camera, cfg, cam_samples)
     active = None

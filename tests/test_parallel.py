@@ -91,6 +91,51 @@ def test_render_stats():
     img, stats = render_with_samples(scene, CAM, cfg, cam_s, bounce_s,
                                      with_stats=True)
     stats = np.asarray(stats)
-    assert stats.shape == (3, 4)
+    assert stats.shape == (3, 5)
     assert stats[0, 0] == 64          # all lanes enter bounce 0
     assert (stats[:, 3] <= stats[:, 0]).all()  # survivors <= entering
+
+
+def test_sharded_pallas_intersector_matches_single_device():
+    """VERDICT r1 item 4: the REAL intersector sharded — block ranges
+    over 'model', rays over 'data' — must match the single-device
+    pallas query exactly."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from prismarine_core_tpu.accel.lbvh import build_bvh
+    from prismarine_core_tpu.accel.packet import (
+        build_packet_set, intersect_closest_pallas, occluded_pallas)
+    from prismarine_core_tpu.parallel.shard_intersect import (
+        build_sharded_packets, make_sharded_query, shard_packets,
+        sharded_intersect_closest, sharded_occluded)
+    from prismarine_core_tpu.parallel.mesh import make_mesh
+    from tests.test_bvh import _random_soup
+
+    soup = _random_soup(3000, capacity=3072, seed=21)
+    bvh = build_bvh(soup, leaf_size=4)
+    ps = build_packet_set(bvh)
+
+    mesh = make_mesh(8, model_parallel=4)
+    sp = shard_packets(build_sharded_packets(bvh, mp=4), mesh)
+
+    rng = np.random.default_rng(22)
+    r = 512
+    o = jnp.asarray(rng.uniform(-8, 8, (r, 3)).astype(np.float32))
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+    ref = intersect_closest_pallas(bvh, ps, soup, o, d)
+    got = sharded_intersect_closest(mesh, sp, soup, o, d)
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+    m = np.asarray(ref.tri) >= 0
+    np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-5)
+    assert m.mean() > 0.2  # scene actually hit
+
+    t_max = jnp.asarray(rng.uniform(0.5, 20, (r,)).astype(np.float32))
+    occ_ref = occluded_pallas(bvh, ps, soup, o, d, t_max)
+    occ = sharded_occluded(mesh, sp, o, d, t_max)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))
