@@ -192,7 +192,10 @@ def intersect_sphere(o, d, center, radius):
     b = 2.0 * jnp.sum(to * d, axis=-1)
     c = jnp.sum(to * to, axis=-1) - radius * radius
     disc = b * b - 4.0 * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # select-before-sqrt: sqrt'(0) = inf, and the final where's zero
+    # cotangent times inf would NaN upstream gradients on every lane
+    # whose ray misses the sphere (disc <= 0).
+    sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
     t1 = 0.5 * (-b - sq)
     t2 = 0.5 * (-b + sq)
     mn = jnp.minimum(t1, t2)

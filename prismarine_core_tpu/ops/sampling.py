@@ -72,4 +72,8 @@ def light_sampling_weight(ldir, n, radius, dist):
     c = jnp.clip(
         pm.dot(ldir, n) * 2.0 * (radius / jnp.maximum(dist, 1e-6)) ** 2,
         0.0, 1.0)
-    return 1.0 - jnp.sqrt(1.0 - c)
+    # sqrt is guarded away from 0: at c == 1 the raw form's derivative is
+    # -inf, and clip's zero cotangent times inf poisons vertex gradients
+    # with NaN (0 * inf) for any hit point close to the light sphere.
+    # Value change <= 1e-6.
+    return 1.0 - jnp.sqrt(jnp.maximum(1.0 - c, 1e-12))

@@ -248,8 +248,11 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig):
             on_surf[:, None], beta * surf["emissive"], 0.0)
 
         # Specular color model (rayshading.comp:168-177).
+        # |cos| floored at 1e-6: the fractional power's derivative is
+        # infinite at 0, which would NaN gradients for grazing lanes.
         cosmag = jnp.clip(
-            jnp.abs(pm.dot(d, n)) ** (cfg.ior - 1.0), 0.0, 1.0)
+            jnp.maximum(jnp.abs(pm.dot(d, n)), 1e-6) ** (cfg.ior - 1.0),
+            0.0, 1.0)
         dielectric = pm.mix(jnp.ones_like(beta),
                             jnp.full_like(beta, 0.05), cosmag[:, None])
         sc = pm.mix(dielectric, surf["albedo"],

@@ -36,8 +36,11 @@ def refract(d, n, eta):
     """GLSL refract. Returns zero vector on total internal reflection."""
     cosi = dot(n, d, keepdims=True)
     k = 1.0 - eta * eta * (1.0 - cosi * cosi)
-    refr = eta * d - (eta * cosi + jnp.sqrt(jnp.maximum(k, 0.0))) * n
-    return jnp.where(k < 0.0, jnp.zeros_like(d), refr)
+    # select-before-sqrt (see ops/intersect.py intersect_sphere): keeps
+    # TIR lanes' gradients finite.
+    refr = eta * d - (
+        eta * cosi + jnp.sqrt(jnp.where(k > 0.0, k, 1.0))) * n
+    return jnp.where(k <= 0.0, jnp.zeros_like(d), refr)
 
 
 def faceforward(n, i):

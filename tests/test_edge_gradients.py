@@ -1,0 +1,181 @@
+"""Silhouette (boundary-term) gradients: autodiff vs finite differences.
+
+These are exactly the cases ``tests/test_gradients.py`` excludes by
+design: moving a vertex sweeps a silhouette across pixels, so the true
+derivative is carried by the *boundary* integral, which the detached
+visibility estimator drops (its interior term is ~0 here).  With
+``render/edge_grad.py``'s edge-sampled boundary attachment, autodiff
+must recover the FD slope of a high-spp primal render.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prismarine_core_tpu.models.camera import Camera
+from prismarine_core_tpu.models.geometry import TriangleSoup
+from prismarine_core_tpu.models.lights import SphereLights
+from prismarine_core_tpu.models.materials import MaterialTable
+from prismarine_core_tpu.models.scene import Scene
+from prismarine_core_tpu.models.textures import Environment
+from prismarine_core_tpu.ops.sampling import make_sample_arrays
+from prismarine_core_tpu.render.edge_grad import (
+    edge_boundary_image, make_edge_sample_arrays, project_to_screen,
+    rays_through_screen, render_with_edge_gradients)
+from prismarine_core_tpu.render.integrator import render_with_samples
+from prismarine_core_tpu.utils.config import RenderConfig
+
+CAM = Camera.look_at(eye=(0.0, 0.0, 3.0), target=(0.0, 0.0, 0.0),
+                     fov_y_deg=45.0)
+
+
+def _tri_scene(dx=0.0):
+    """One emissive triangle on a black environment: radiance is a pure
+    indicator of primary visibility, so the entire vertex-position
+    gradient is the boundary term."""
+    verts = np.array([[-0.6 + dx, -0.5, 0.0],
+                      [0.7 + dx, -0.4, 0.0],
+                      [0.0 + dx, 0.6, 0.0]], np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    tris = TriangleSoup.from_arrays(verts, faces,
+                                    mat_ids=np.zeros(1, np.int32))
+    mats = MaterialTable.build([
+        {"diffuse": (0.0, 0.0, 0.0), "emissive": (2.0, 1.0, 0.5)}])
+    lights = SphereLights.single(center=(0.0, 5.0, 5.0), radius=0.1,
+                                 color=(0.0, 0.0, 0.0))
+    env = Environment.constant((0.0, 0.0, 0.0))
+    return Scene.assemble(tris, mats, lights, env)
+
+
+def test_project_inverts_raygen():
+    """project_to_screen must be the exact inverse of the pinhole ray
+    generator: a ray through screen point s, marched to any t, projects
+    back to s."""
+    cfg = RenderConfig(width=64, height=48, spp=1, max_bounces=1)
+    s = jnp.array([[3.2, 7.9], [63.0, 0.5], [10.0, 47.5], [31.5, 23.5]],
+                  jnp.float32)
+    o, d = rays_through_screen(CAM, cfg, s)
+    p = o + 2.7 * d
+    s2, z = project_to_screen(CAM, cfg, p)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s),
+                               atol=1e-3)
+    assert np.all(np.asarray(z) > 0)
+
+
+def test_boundary_image_value_is_zero():
+    cfg = RenderConfig(width=32, height=32, spp=1, max_bounces=1,
+                       intersector="bvh")
+    scene = _tri_scene()
+    eu, ebs = make_edge_sample_arrays(jax.random.key(1), 512,
+                                      cfg.max_bounces)
+    img = edge_boundary_image(scene, CAM, cfg, eu, ebs)
+    assert float(jnp.max(jnp.abs(img))) == 0.0
+
+
+@pytest.mark.parametrize("coord", [(0, 0), (2, 1)])
+def test_silhouette_sweep_matches_fd(coord):
+    """Translate one vertex coordinate; the loss changes only because
+    the silhouette sweeps across pixels.  FD of a high-spp primal render
+    vs autodiff with the boundary attachment."""
+    vid, axis = coord
+    cfg = RenderConfig(width=32, height=32, spp=64, max_bounces=1,
+                       intersector="bvh")
+    base = _tri_scene()
+    cam_s, bounce_s = make_sample_arrays(jax.random.key(0), cfg.n_rays,
+                                         cfg.max_bounces)
+    eu, ebs = make_edge_sample_arrays(jax.random.key(7), 4096,
+                                      cfg.max_bounces)
+    w = jnp.linspace(0.5, 1.5, 32 * 32 * 3).reshape(32, 32, 3)
+
+    def loss(theta):
+        vs = [base.triangles.v0, base.triangles.v1, base.triangles.v2]
+        vs[vid] = vs[vid].at[0, axis].add(theta)
+        tris = dataclasses.replace(
+            base.triangles, v0=vs[0], v1=vs[1], v2=vs[2])
+        scene = dataclasses.replace(base, triangles=tris).with_bvh()
+        img = render_with_edge_gradients(scene, CAM, cfg, cam_s,
+                                         bounce_s, eu, ebs)
+        return jnp.sum(img * w)
+
+    g = float(jax.grad(loss)(jnp.float32(0.0)))
+
+    # FD on the primal at eps moving the silhouette ~1 px; f64 accumulate.
+    eps = 5e-2
+    lp = float(loss(jnp.float32(+eps)))
+    lm = float(loss(jnp.float32(-eps)))
+    fd = (lp - lm) / (2 * eps)
+
+    assert abs(fd) > 1e-2, "test scene must actually have a silhouette"
+    assert abs(g - fd) < 0.15 * abs(fd) + 1e-2, (
+        f"boundary gradient {g} vs FD {fd}")
+
+
+def test_detached_estimator_alone_misses_the_sweep():
+    """Negative control: without the boundary attachment, autodiff of
+    the same loss is ~0 — the gap this module exists to close."""
+    cfg = RenderConfig(width=32, height=32, spp=16, max_bounces=1,
+                       intersector="bvh")
+    base = _tri_scene()
+    cam_s, bounce_s = make_sample_arrays(jax.random.key(0), cfg.n_rays,
+                                         cfg.max_bounces)
+    w = jnp.linspace(0.5, 1.5, 32 * 32 * 3).reshape(32, 32, 3)
+
+    def loss(theta):
+        tris = dataclasses.replace(
+            base.triangles,
+            v0=base.triangles.v0.at[0, 0].add(theta),
+            v1=base.triangles.v1.at[0, 0].add(theta),
+            v2=base.triangles.v2.at[0, 0].add(theta))
+        scene = dataclasses.replace(base, triangles=tris).with_bvh()
+        img = render_with_samples(scene, CAM, cfg, cam_s, bounce_s)
+        return jnp.sum(img * w)
+
+    g = float(jax.grad(loss)(jnp.float32(0.0)))
+    eps = 5e-2
+    fd = (float(loss(jnp.float32(eps)))
+          - float(loss(jnp.float32(-eps)))) / (2 * eps)
+    assert abs(fd) > 1e-2
+    assert abs(g) < 0.05 * abs(fd), (
+        "rigid translation of an emissive triangle should have ~zero "
+        f"detached-estimator gradient, got {g} (fd {fd})")
+
+
+def test_inverse_rendering_recovers_vertex_offset():
+    """Gradient descent through the boundary term pulls a translated
+    triangle back toward the target pose."""
+    cfg = RenderConfig(width=24, height=24, spp=16, max_bounces=1,
+                       intersector="bvh")
+    cam_s, bounce_s = make_sample_arrays(jax.random.key(3), cfg.n_rays,
+                                         cfg.max_bounces)
+    target = render_with_samples(_tri_scene(0.0), CAM, cfg, cam_s,
+                                 bounce_s)
+
+    def loss(theta, eu, ebs):
+        img = render_with_edge_gradients(_tri_scene_theta(theta), CAM,
+                                         cfg, cam_s, bounce_s, eu, ebs)
+        return jnp.mean((img - target) ** 2)
+
+    base = _tri_scene(0.0)
+
+    def _tri_scene_theta(theta):
+        tris = dataclasses.replace(
+            base.triangles,
+            v0=base.triangles.v0.at[:, 0].add(theta),
+            v1=base.triangles.v1.at[:, 0].add(theta),
+            v2=base.triangles.v2.at[:, 0].add(theta))
+        return dataclasses.replace(base, triangles=tris).with_bvh()
+
+    theta = jnp.float32(0.35)
+    theta0 = float(theta)
+    lr = 1.2
+    key = jax.random.key(11)
+    grad_fn = jax.jit(jax.grad(loss))
+    for i in range(18):
+        key, sub = jax.random.split(key)
+        eu, ebs = make_edge_sample_arrays(sub, 2048, cfg.max_bounces)
+        theta = theta - lr * grad_fn(theta, eu, ebs)
+    assert abs(float(theta)) < 0.4 * theta0, (
+        f"vertex offset {theta0} only reduced to {float(theta)}")
