@@ -54,6 +54,13 @@ def _run_config(name, scene, camera, cfg, n_frames=3):
     # issued NEE shadow lanes
     rays = int(stats[:, 0].sum() + stats[:, 4].sum()) * cfg.spp
 
+    # Warm the EXACT timed callable: with_stats=False is a different jit
+    # cache entry than the stats call above; without this the timed
+    # loop's first iteration pays a full recompile (the round-2 bench
+    # recorded a 46 s compile inside the loop — a 6x understatement).
+    img = render_with_samples(scene, camera, cfg, cam_s, bounce_s)
+    float(img.mean())
+
     t0 = time.perf_counter()
     for i in range(n_frames):
         img = render_with_samples(scene, camera, cfg, cam_s, bounce_s)
@@ -75,7 +82,9 @@ def main():
     from prismarine_core_tpu.utils.config import RenderConfig
 
     n_tris = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    full = len(sys.argv) > 2 and sys.argv[2] == "--all"
+    # secondary configs are default-ON (stderr only) so every committed
+    # bench artifact records hall + teapot; --fast skips them
+    full = "--fast" not in sys.argv[1:]
 
     print(f"[bench] devices={jax.devices()}", file=sys.stderr)
 

@@ -24,12 +24,22 @@ from prismarine_core_tpu.render.integrator import render_with_samples
 from prismarine_core_tpu.utils.config import INF_DIST, RenderConfig
 
 
+def _force(out):
+    """Force completion via a VALUE readback: on the axon tunnel backend
+    ``block_until_ready`` has been observed to return early (bench.py),
+    so every measured iteration reads one element of the first output
+    leaf — the D2H copy cannot start before the program finishes."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.asarray(leaf).ravel()[0].astype(jnp.float32))
+
+
 def timeit(fn, *args, n=3, label=""):
-    out = jax.block_until_ready(fn(*args))
+    out = fn(*args)
+    _force(out)                                   # warm the exact callable
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _force(out)
     dt = (time.perf_counter() - t0) / n * 1e3
     print(f"  {label:<42s} {dt:9.2f} ms", flush=True)
     return out, dt

@@ -116,6 +116,68 @@ def make_edge_sample_arrays(key: jax.Array, n_edge_samples: int,
     return edge_u, bounce
 
 
+def _edge_multiplicity(ea, eb, evalid):
+    """i32[E] — how many directed edges in the list share each edge's
+    unordered endpoint pair.
+
+    On a watertight mesh every silhouette edge appears once per adjacent
+    triangle; reversing direction flips both n_perp and (L^- - L^+), so
+    the copies ADD rather than cancel — without the 1/multiplicity
+    weight the boundary gradient of any shared edge is exactly 2x.
+    Exact duplicate counting via a 6-key lexicographic sort (shared
+    vertices in a soup are bitwise-equal copies of the same source
+    vertex).  Invalid (padding) edges are keyed to +big so they only
+    collide with each other.
+    """
+    n = ea.shape[0]
+    swap = ((ea[:, 0] > eb[:, 0])
+            | ((ea[:, 0] == eb[:, 0]) & (ea[:, 1] > eb[:, 1]))
+            | ((ea[:, 0] == eb[:, 0]) & (ea[:, 1] == eb[:, 1])
+               & (ea[:, 2] > eb[:, 2])))
+    lo = jnp.where(swap[:, None], eb, ea)
+    hi = jnp.where(swap[:, None], ea, eb)
+    big = jnp.float32(3.0e38)
+    lo = jnp.where(evalid[:, None], lo, big)
+    hi = jnp.where(evalid[:, None], hi, big)
+    cols = (lo[:, 0], lo[:, 1], lo[:, 2], hi[:, 0], hi[:, 1], hi[:, 2])
+    iota = jnp.arange(n, dtype=jnp.int32)
+    *k, order = jax.lax.sort(cols + (iota,), num_keys=6)
+    k = jnp.stack(k, axis=-1)                                   # [E,6]
+    new_run = jnp.concatenate(
+        [jnp.ones((1,), bool), (k[1:] != k[:-1]).any(-1)])
+    run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+    counts = jnp.zeros((n,), jnp.int32).at[run_id].add(1)
+    mult_sorted = counts[run_id]
+    return jnp.zeros((n,), jnp.int32).at[order].set(mult_sorted)
+
+
+def _clip_to_rect(sa, seg, w, h, pad_px=1.0):
+    """Liang–Barsky: param range [t0, t1] of each screen segment inside
+    the pad-expanded image rectangle (t1 < t0 => fully outside).
+
+    Keeps near-plane-grazing edges — whose projections can be enormous
+    — from dominating the length CDF while contributing only
+    off-screen (zeroed) samples."""
+    t0 = jnp.zeros(sa.shape[0], jnp.float32)
+    t1 = jnp.ones(sa.shape[0], jnp.float32)
+    for axis, lo_b, hi_b in ((0, -pad_px, w + pad_px),
+                             (1, -pad_px, h + pad_px)):
+        d = seg[:, axis]
+        a = sa[:, axis]
+        safe = jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+        c1 = (lo_b - a) / safe
+        c2 = (hi_b - a) / safe
+        tlo = jnp.minimum(c1, c2)
+        thi = jnp.maximum(c1, c2)
+        para = jnp.abs(d) < 1e-9
+        inside = (a >= lo_b) & (a <= hi_b)
+        tlo = jnp.where(para, jnp.where(inside, 0.0, 1.0), tlo)
+        thi = jnp.where(para, jnp.where(inside, 1.0, 0.0), thi)
+        t0 = jnp.maximum(t0, tlo)
+        t1 = jnp.minimum(t1, thi)
+    return jnp.clip(t0, 0.0, 1.0), jnp.clip(t1, 0.0, 1.0)
+
+
 def edge_boundary_image(scene: Scene, camera: Camera, cfg: RenderConfig,
                         edge_u: jax.Array, bounce_samples: jax.Array,
                         delta_px: float = EDGE_DELTA_PX) -> jax.Array:
@@ -129,6 +191,9 @@ def edge_boundary_image(scene: Scene, camera: Camera, cfg: RenderConfig,
     """
     assert not cfg.camera_360 and not cfg.dof, (
         "boundary term supports the pinhole perspective camera only")
+    assert not cfg.interlace, (
+        "boundary term is inconsistent with interlaced primal renders "
+        "(gradient would splat onto masked-off parity pixels)")
     from prismarine_core_tpu.render.integrator import trace_radiance
 
     soup = scene.triangles
@@ -138,21 +203,26 @@ def edge_boundary_image(scene: Scene, camera: Camera, cfg: RenderConfig,
     ea = jnp.concatenate([soup.v0, soup.v1, soup.v2], axis=0)   # [3T,3]
     eb = jnp.concatenate([soup.v1, soup.v2, soup.v0], axis=0)
     evalid = jnp.concatenate([soup.valid] * 3, axis=0)
+    mult = sg(_edge_multiplicity(sg(ea), sg(eb), evalid))       # [3T]
 
     sa, za = project_to_screen(camera, cfg, ea)                 # [3T,2]
     sb, zb = project_to_screen(camera, cfg, eb)
     in_front = (za > _NEAR) & (zb > _NEAR)
 
-    # screen AABB vs image overlap (pad by 1px for the offset rays)
-    lo = jnp.minimum(sa, sb)
-    hi = jnp.maximum(sa, sb)
-    on_screen = ((hi[:, 0] > -1.0) & (lo[:, 0] < cfg.width + 1.0)
-                 & (hi[:, 1] > -1.0) & (lo[:, 1] < cfg.height + 1.0))
+    seg = sb - sa
+    # clip each projected segment to the padded image rect so huge
+    # near-plane projections don't starve real silhouettes of samples
+    tc0, tc1 = _clip_to_rect(sg(sa), sg(seg), cfg.width, cfg.height)
+    on_screen = tc1 > tc0
     use = evalid & in_front & on_screen
 
-    seg = sb - sa
     length = jnp.linalg.norm(seg, axis=-1)                      # [3T]
-    w_len = sg(jnp.where(use, length, 0.0))
+    clip_frac = sg(jnp.maximum(tc1 - tc0, 0.0))
+    # CDF weight: visible screen length, split across duplicate copies
+    w_len = sg(jnp.where(use,
+                         length * clip_frac
+                         / jnp.maximum(mult, 1).astype(jnp.float32),
+                         0.0))
 
     # --- length-proportional stratified draws ----------------------------
     cdf = jnp.cumsum(w_len)
@@ -162,11 +232,13 @@ def edge_boundary_image(scene: Scene, camera: Camera, cfg: RenderConfig,
     idx = jnp.clip(idx, 0, w_len.shape[0] - 1)
     prev = jnp.where(idx > 0, cdf[jnp.maximum(idx - 1, 0)], 0.0)
     lsel = jnp.maximum(w_len[idx], 1e-12)
-    frac = sg(jnp.clip((targets - prev) / lsel, 0.0, 1.0))      # [B]
+    # map the draw back to the unclipped [0,1] edge parameterization
+    frac_c = sg(jnp.clip((targets - prev) / lsel, 0.0, 1.0))    # [B]
+    frac = sg(tc0[idx] + frac_c * (tc1[idx] - tc0[idx]))
 
     # differentiable screen position of each sampled edge point
     m = sa[idx] + frac[:, None] * seg[idx]                      # [B,2]
-    e_hat = sg(seg[idx] / lsel[:, None])
+    e_hat = sg(seg[idx] / jnp.maximum(length[idx], 1e-12)[:, None])
     n_perp = jnp.stack([-e_hat[:, 1], e_hat[:, 0]], axis=-1)    # [B,2]
 
     # --- radiance just off both sides (fully detached) -------------------

@@ -51,7 +51,8 @@ class RenderConfig:
     tri_block: int = 512
     #: leaf size (triangles per BVH leaf)
     bvh_leaf_size: int = 4
-    #: which intersector to use: "brute" | "bvh"
+    #: which intersector to use: "brute" | "bvh" | "packet" | "pallas"
+    #: ("pallas" is the production fused-kernel fast path)
     intersector: str = "bvh"
     #: traversal ray-chunk size (0 = whole batch in one while_loop);
     #: smaller chunks bound each while_loop's iteration count by the

@@ -33,7 +33,13 @@ def reflect(d, n):
 
 
 def refract(d, n, eta):
-    """GLSL refract. Returns zero vector on total internal reflection."""
+    """GLSL refract. Returns zero vector on total internal reflection.
+
+    Divergence from the GLSL contract: at exactly k == 0 (grazing
+    critical angle) GLSL returns the tangent direction while this
+    returns zero — the k <= 0 boundary is deliberate so TIR lanes keep
+    finite gradients (measure-zero in the transport integral).
+    """
     cosi = dot(n, d, keepdims=True)
     k = 1.0 - eta * eta * (1.0 - cosi * cosi)
     # select-before-sqrt (see ops/intersect.py intersect_sphere): keeps

@@ -113,6 +113,55 @@ def test_silhouette_sweep_matches_fd(coord):
         f"boundary gradient {g} vs FD {fd}")
 
 
+def test_shared_edge_not_double_counted():
+    """Regression: a quad of two triangles whose shared diagonal is a
+    radiance discontinuity (emissive vs black triangle).  The diagonal
+    appears TWICE in the directed-edge list, and reversing direction
+    flips both n_perp and (L^- - L^+), so without the 1/multiplicity
+    weight its boundary gradient is exactly 2x the FD slope."""
+    cfg = RenderConfig(width=32, height=32, spp=64, max_bounces=1,
+                       intersector="bvh")
+    verts = np.array([[-0.7, -0.7, 0.0], [0.7, -0.7, 0.0],
+                      [-0.7, 0.7, 0.0], [0.7, 0.7, 0.0]], np.float32)
+    # shared diagonal is (1, 2)
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    mats = MaterialTable.build([
+        {"diffuse": (0.0, 0.0, 0.0), "emissive": (2.0, 1.0, 0.5)},
+        {"diffuse": (0.0, 0.0, 0.0), "emissive": (0.0, 0.0, 0.0)}])
+    lights = SphereLights.single(center=(0.0, 5.0, 5.0), radius=0.1,
+                                 color=(0.0, 0.0, 0.0))
+    env = Environment.constant((0.0, 0.0, 0.0))
+    cam_s, bounce_s = make_sample_arrays(jax.random.key(0), cfg.n_rays,
+                                         cfg.max_bounces)
+    eu, ebs = make_edge_sample_arrays(jax.random.key(7), 4096,
+                                      cfg.max_bounces)
+    w = jnp.linspace(0.5, 1.5, 32 * 32 * 3).reshape(32, 32, 3)
+
+    base_tris = TriangleSoup.from_arrays(
+        verts, faces, mat_ids=np.array([0, 1], np.int32))
+    base = Scene.assemble(base_tris, mats, lights, env)
+
+    def loss(theta):
+        # move vertex 1 (a diagonal endpoint): it is tri0.v1 and tri1.v0
+        tris = dataclasses.replace(
+            base.triangles,
+            v0=base.triangles.v0.at[1, 0].add(theta),
+            v1=base.triangles.v1.at[0, 0].add(theta))
+        scene = dataclasses.replace(base, triangles=tris).with_bvh()
+        img = render_with_edge_gradients(scene, CAM, cfg, cam_s,
+                                         bounce_s, eu, ebs)
+        return jnp.sum(img * w)
+
+    g = float(jax.grad(loss)(jnp.float32(0.0)))
+    eps = 5e-2
+    fd = (float(loss(jnp.float32(eps)))
+          - float(loss(jnp.float32(-eps)))) / (2 * eps)
+    assert abs(fd) > 1e-2, "diagonal must actually sweep radiance"
+    assert abs(g - fd) < 0.2 * abs(fd) + 1e-2, (
+        f"shared-edge boundary gradient {g} vs FD {fd} "
+        f"(2x would indicate double-counting)")
+
+
 def test_detached_estimator_alone_misses_the_sweep():
     """Negative control: without the boundary attachment, autodiff of
     the same loss is ~0 — the gap this module exists to close."""
