@@ -200,7 +200,10 @@ def _per_ray_tile_overlap(ot, inv, tct, box_lo, box_hi,
         t1 = (box_hi[None, None] - o_c[:, :, None]) * inv_c[:, :, None]
         tn = jnp.max(jnp.minimum(t0, t1), axis=-1)  # [C, TILE, nbx]
         tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= tc_c[:, :, None])
+        # tc > 0 term: lanes with a zero cap are DEAD and must produce
+        # no pairs even when their origin sits inside a box (tn < 0)
+        hit = ((tf >= jnp.maximum(tn, 0.0))
+               & (tn <= tc_c[:, :, None]) & (tc_c[:, :, None] > 0.0))
         any_hit = jnp.any(hit, axis=1)               # [C, nbx]
         if not return_tn:
             return None, (any_hit,)
@@ -268,7 +271,8 @@ def _block_masks(ot, inv, tct, pair_tile, pair_sb, n_pairs,
         t1 = (hi_w - o_w[:, :, None]) * i_w[:, :, None]
         tn = jnp.max(jnp.minimum(t0, t1), axis=-1)    # [W, TILE, SB]
         tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= tc_w[:, :, None])
+        hit = ((tf >= jnp.maximum(tn, 0.0))
+               & (tn <= tc_w[:, :, None]) & (tc_w[:, :, None] > 0.0))
         bm = jnp.any(hit, axis=1) & live[:, None]     # [W, SB]
         mw = jnp.sum(jnp.where(bm, bits, 0), axis=1)  # [W] i32
         masks = jax.lax.dynamic_update_slice(masks, mw, (start,))
@@ -279,20 +283,15 @@ def _block_masks(ot, inv, tct, pair_tile, pair_sb, n_pairs,
     return masks[:lw]
 
 
-def _compact_pairs(sb_mask, nsb_sentinel):
-    """[nt, nsb] mask -> tile-major (pair_tile, pair_sb, n_pairs) with
-    static length nt*nsb; padded entries -> (nt, sentinel).
+def _compact_flat(flat, tile_of, sb_of, nt, nsb_sentinel):
+    """Compact a flat candidate mask into a tile-major pair list.
 
-    One cumsum + two scatters over nt*nsb elements (the GPU analog is a
-    ballot+popcount queue append, ``ballotlib.glsl:106-132``).
-    """
-    nt, nsb = sb_mask.shape
-    lw = nt * nsb
-    flat = sb_mask.reshape(-1)
+    One cumsum + two scatters (the GPU analog is a ballot+popcount queue
+    append, ``ballotlib.glsl:106-132``).  Padded entries ->
+    (nt, sentinel)."""
+    lw = flat.shape[0]
     pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
     n_pairs = pos[-1] + 1
-    tile_of = jnp.arange(lw, dtype=jnp.int32) // nsb
-    sb_of = jnp.arange(lw, dtype=jnp.int32) % nsb
     target = jnp.where(flat, pos, lw)
     pair_tile = jnp.full((lw + 1,), nt, jnp.int32).at[target].set(
         tile_of, mode="drop", unique_indices=True)[:lw]
@@ -301,15 +300,40 @@ def _compact_pairs(sb_mask, nsb_sentinel):
     return pair_tile, pair_sb, n_pairs
 
 
-def _ray_sort_keys(root_lo, root_hi, o, d):
-    """Coherence key: octant(3b) ++ origin-Morton(15b) ++
+def _compact_pairs(sb_mask, nsb_sentinel):
+    """[nt, nsb] mask -> tile-major (pair_tile, pair_sb, n_pairs) with
+    static length nt*nsb; padded entries -> (nt, sentinel)."""
+    nt, nsb = sb_mask.shape
+    lw = nt * nsb
+    tile_of = jnp.arange(lw, dtype=jnp.int32) // nsb
+    sb_of = jnp.arange(lw, dtype=jnp.int32) % nsb
+    return _compact_flat(sb_mask.reshape(-1), tile_of, sb_of,
+                         nt, nsb_sentinel)
+
+
+def _compact_topk(cand, cand_ok, nt, nsb_sentinel):
+    """[nt, K] per-tile candidate ids (+validity) -> tile-major pair
+    list of static length nt*K — the round-1 compaction of the
+    front-to-back query (K nearest superblocks per tile)."""
+    k = cand.shape[1]
+    lw = nt * k
+    tile_of = jnp.arange(lw, dtype=jnp.int32) // k
+    return _compact_flat(cand_ok.reshape(-1), tile_of, cand.reshape(-1),
+                         nt, nsb_sentinel)
+
+
+def _ray_sort_keys(root_lo, root_hi, o, d, t_cap=None):
+    """Coherence key: dead(1b) ++ octant(3b) ++ origin-Morton(15b) ++
     direction-Morton(12b).
 
     Bounce rays share origins but scatter in direction; without the
     direction bits a tile's direction cone covers a whole octant and its
     overlap list approaches *every* superblock.  Binning by |d| within
     the octant (4 bits/axis) tightens tile cones to ~20 degrees,
-    collapsing the pair count for incoherent queries.
+    collapsing the pair count for incoherent queries.  Dead lanes
+    (t_cap == 0) sort LAST: they concentrate into all-dead trailing
+    tiles whose cull rows are empty, so late bounces (~50% dead) stop
+    diluting live tiles' boxes and pair lists shrink with liveness.
     """
     from prismarine_core_tpu.ops.morton import morton30
     unit = jnp.clip((o - root_lo)
@@ -319,7 +343,10 @@ def _ray_sort_keys(root_lo, root_hi, o, d):
     octant = ((d[:, 0] >= 0).astype(jnp.uint32)
               | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
               | ((d[:, 2] >= 0).astype(jnp.uint32) << 2))
-    return (octant << 27) | (om << 12) | (dm & 0xFFF)
+    keys = (octant << 27) | (om << 12) | (dm & 0xFFF)
+    if t_cap is not None:
+        keys = keys | ((t_cap <= 0.0).astype(jnp.uint32) << 31)
+    return keys
 
 
 def _packet_core(bvh: BVH, ps: PacketSet, o, d, t_cap, any_hit: bool):
@@ -430,7 +457,7 @@ def _sort_pad_rays(root_lo, root_hi, o, d, t_cap, order=None):
     Returns (o, d, t_cap, (perm, inv_perm), n_orig)."""
     r = o.shape[0]
     if order is None:
-        keys = _ray_sort_keys(root_lo, root_hi, o, d)
+        keys = _ray_sort_keys(root_lo, root_hi, o, d, t_cap)
         iota = jnp.arange(r, dtype=jnp.int32)
         _, perm = jax.lax.sort((keys, iota), num_keys=1)
         inv_perm = jnp.zeros((r,), jnp.int32).at[perm].set(iota)
@@ -449,7 +476,7 @@ def _sort_pad_rays(root_lo, root_hi, o, d, t_cap, order=None):
 
 
 def _run_kernel(pair_tile, pair_sb, pair_mask, n_real, rays, planes,
-                nt, nsb, window):
+                nt, nsb, window, prior=None):
     """Pad a pair list to a window multiple and run the Pallas kernel."""
     from prismarine_core_tpu.ops.pallas_intersect import (
         pallas_sb_intersect_windowed)
@@ -464,23 +491,34 @@ def _run_kernel(pair_tile, pair_sb, pair_mask, n_real, rays, planes,
             [pair_mask, jnp.zeros((wpad,), jnp.int32)])
     return pallas_sb_intersect_windowed(
         pair_tile, pair_sb, pair_mask, n_real, rays, planes,
-        window=window)
+        window=window, prior=prior)
+
+
+#: round-1 budget of the front-to-back query: each tile executes its
+#: K_FIRST nearest superblocks (by tile-min box entry distance) before
+#: the re-cull.  Morton-adjacent blocks make "nearest superblock
+#: contains the hit" unreliable for K=1 (measured ~1-2% in round 2's
+#: abandoned two-pass variant) but K=8 captures the true hit for the
+#: large majority of rays, so the round-2 re-cull against the tightened
+#: per-ray t retires most remaining pairs.
+K_FIRST = 8
 
 
 def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
                        any_hit: bool = False, window: int = 1024,
-                       order=None):
-    """Pallas fast path: sort+tile rays, dense superblock cull, compact
-    pairs + per-pair block masks, run the kernel
-    (ops/pallas_intersect.py), unsort.
+                       order=None, two_round: bool = True):
+    """Pallas fast path: sort+tile rays, dense superblock cull, then a
+    front-to-back TWO-ROUND pair execution, unsort.
 
-    ``any_hit`` only affects semantics upstream (t_cap holds the light
-    distance); the kernel computation is identical.  (An ordered
-    two-pass variant — intersect each tile's nearest superblock, then
-    re-cull with tightened caps — was measured and REMOVED: the nearest
-    superblock by box entry contains the actual hit for only ~1-2% of
-    rays on Morton-ordered blocks, so the second pass did full work and
-    the extra cull stages cost ~80 ms/frame.)  Returns (t, slot, order).
+    Round 1 compacts each tile's K_FIRST nearest superblocks (entry
+    distance from the dense cull, ``top_k``) and runs the fused kernel;
+    round 2 re-culls the remaining superblocks against the tightened
+    per-ray results — ``t_best`` for closest-hit, cap 0 (dead lane) for
+    any-hit lanes that already found an occluder — and runs only the
+    survivors with the round-1 accumulator as prior.  This is the TPU
+    replacement for per-ray early-out traversal: work retires at round
+    granularity with every shape static.  ``any_hit`` additionally
+    culls finished lanes in round 2.  Returns (t, slot, order).
     """
     o, d, t_cap, order, r = _sort_pad_rays(root_lo, root_hi, o, d,
                                            t_cap, order)
@@ -504,14 +542,50 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
     rays = rays.at[:nt, :, 8:11].set(inv)
     rays = rays.reshape((nt + 1) * TILE, RAY_COLS)
 
-    # dense exact cull at superblock granularity + pair compaction +
-    # per-pair block masks (the second cull level)
-    sb_mask = _per_ray_tile_overlap(ot, inv, tct, ps.sb_lo, ps.sb_hi)
-    pair_tile, pair_sb, n_pairs = _compact_pairs(sb_mask, nsb)
-    pair_mask = _block_masks(ot, inv, tct, pair_tile, pair_sb, n_pairs,
-                             ps.block_lo, ps.block_hi)
-    out = _run_kernel(pair_tile, pair_sb, pair_mask, n_pairs, rays,
-                      ps.planes, nt, nsb, window)
+    two_round = two_round and nsb > K_FIRST
+
+    # dense exact cull at superblock granularity
+    if not two_round:
+        sb_mask = _per_ray_tile_overlap(ot, inv, tct, ps.sb_lo, ps.sb_hi)
+        pair_tile, pair_sb, n_pairs = _compact_pairs(sb_mask, nsb)
+        pair_mask = _block_masks(ot, inv, tct, pair_tile, pair_sb,
+                                 n_pairs, ps.block_lo, ps.block_hi)
+        out = _run_kernel(pair_tile, pair_sb, pair_mask, n_pairs, rays,
+                          ps.planes, nt, nsb, window)
+    else:
+        sb_mask, sb_tn = _per_ray_tile_overlap(
+            ot, inv, tct, ps.sb_lo, ps.sb_hi, return_tn=True)
+
+        # ---- round 1: K nearest candidate superblocks per tile ----
+        tn_cand = jnp.where(sb_mask, sb_tn, INF_DIST)
+        neg_tn, cand = jax.lax.top_k(-tn_cand, K_FIRST)   # [nt, K]
+        cand_ok = -neg_tn < INF_DIST
+        pt1, psb1, np1 = _compact_topk(cand, cand_ok, nt, nsb)
+        pm1 = _block_masks(ot, inv, tct, pt1, psb1, np1,
+                           ps.block_lo, ps.block_hi)
+        out = _run_kernel(pt1, psb1, pm1, np1, rays, ps.planes,
+                          nt, nsb, window)
+
+        # ---- round 2: re-cull the rest against tightened caps ----
+        o1 = out.reshape(nt + 1, TILE, 8)
+        best1 = o1[:nt, :, 0]                             # [nt, TILE]
+        if any_hit:
+            slot1 = jax.lax.bitcast_convert_type(o1[:nt, :, 1],
+                                                 jnp.int32)
+            tct2 = jnp.where(slot1 >= 0, 0.0, tct)        # done lanes out
+        else:
+            tct2 = jnp.minimum(tct, best1)
+        executed = jnp.zeros((nt, nsb + 1), bool).at[
+            jnp.arange(nt, dtype=jnp.int32)[:, None],
+            jnp.where(cand_ok, cand, nsb)].set(True)[:, :nsb]
+        sb_mask2 = (_per_ray_tile_overlap(ot, inv, tct2,
+                                          ps.sb_lo, ps.sb_hi)
+                    & sb_mask & ~executed)
+        pt2, psb2, np2 = _compact_pairs(sb_mask2, nsb)
+        pm2 = _block_masks(ot, inv, tct2, pt2, psb2, np2,
+                           ps.block_lo, ps.block_hi)
+        out = _run_kernel(pt2, psb2, pm2, np2, rays, ps.planes,
+                          nt, nsb, window, prior=out)
 
     out = out.reshape(nt + 1, TILE, 8)[:nt]
     t = out[:, :, 0]

@@ -162,6 +162,7 @@ def pallas_sb_intersect_windowed(
     rays,                    # f32[(nt+1)*TILE, 16]
     planes,                  # f32[nsb+1, 16, SB*BLOCK] (last = sentinel)
     window: int = 1024,
+    prior=None,              # f32[(nt+1)*TILE, 8] carried bests (round 2+)
 ):
     """Exact pair execution: while_loop over fixed-size pair windows.
 
@@ -169,7 +170,9 @@ def pallas_sb_intersect_windowed(
     the superblock planes straight out of HBM (contiguous DMAs,
     double-buffered by Mosaic); per-tile bests carry across windows via
     the prior-input/first-flag handoff, and tiles untouched in a window
-    keep their carried values through the output aliasing.
+    keep their carried values through the output aliasing.  ``prior``
+    seeds the accumulator from an earlier round's result instead of the
+    t_cap/-1 initialization (the multi-round front-to-back query).
     """
     n_rows = rays.shape[0]
     n_tiles_pad = n_rows // TILE - 1
@@ -208,13 +211,16 @@ def pallas_sb_intersect_windowed(
         interpret=interpret,
     )
 
-    # initial best: t = t_cap (ray column 6), slot = -1
-    colid = jnp.arange(8)[None, :]
-    neg1 = jax.lax.bitcast_convert_type(
-        jnp.full((n_rows,), -1, jnp.int32), jnp.float32)
-    init_out = jnp.where(
-        colid == OC_T, rays[:, RC_TCAP][:, None],
-        jnp.where(colid == OC_SLOT, neg1[:, None], 0.0))
+    if prior is None:
+        # initial best: t = t_cap (ray column 6), slot = -1
+        colid = jnp.arange(8)[None, :]
+        neg1 = jax.lax.bitcast_convert_type(
+            jnp.full((n_rows,), -1, jnp.int32), jnp.float32)
+        init_out = jnp.where(
+            colid == OC_T, rays[:, RC_TCAP][:, None],
+            jnp.where(colid == OC_SLOT, neg1[:, None], 0.0))
+    else:
+        init_out = prior
 
     def cond(state):
         # NOTE: deliberately no any-hit early-exit here — reading the
