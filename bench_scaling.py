@@ -66,6 +66,21 @@ def main():
     cam_s, bounce_s = make_sample_arrays(
         jax.random.key(0), cfg.n_rays, cfg.max_bounces)
 
+    # HONEST ray accounting (same policy as bench.py): live lanes
+    # entering each closest-hit query + issued NEE shadow lanes.  The
+    # count is a property of (scene, samples), identical at every
+    # device count — measure it once on one device.
+    import numpy as np
+
+    from prismarine_core_tpu.render.integrator import render_with_samples
+    _, stats = render_with_samples(scene, camera, cfg, cam_s, bounce_s,
+                                   with_stats=True)
+    stats = np.asarray(stats)
+    rays = int(stats[:, 0].sum() + stats[:, 4].sum()) * cfg.spp
+    live_frac = rays / (cfg.n_rays * cfg.max_bounces * 2 * cfg.spp)
+    print(f"[scaling] live rays/frame: {rays:,} "
+          f"({live_frac:.0%} of nominal)", file=sys.stderr)
+
     counts = [n for n in (1, 2, 4, 8) if n <= len(devs)]
     base = None
     for n in counts:
@@ -82,7 +97,6 @@ def main():
             img = renderer(sc, camera, cs, bs)
             float(img.mean())
         dt = (time.perf_counter() - t0) / reps
-        rays = cfg.n_rays * cfg.max_bounces * 2
         rps = rays / dt
         if base is None:
             base = rps

@@ -159,10 +159,97 @@ class Environment:
 
     def sample(self, d: jax.Array) -> jax.Array:
         """Radiance for directions d f32[R,3] — equirect lookup matching
-        ``environment.glsl:23-26``: u from atan2(z,x), v from asin(y)."""
+        ``environment.glsl:23-26`` (u from atan2(z,x), v from asin(y)),
+        BILINEAR-filtered like the reference's filtered texture() fetch
+        (``environment.glsl:21-66``): wrap in u (the seam at phi = +-pi
+        is periodic), clamp in v (the poles)."""
         h, w, _ = self.image.shape
         u = jnp.arctan2(d[:, 2], d[:, 0]) / (2.0 * jnp.pi) + 0.5
         v = 0.5 - jnp.arcsin(jnp.clip(d[:, 1], -1.0, 1.0)) / jnp.pi
-        x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
-        y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-        return self.image[y, x] * self.scale
+        x = u * w - 0.5
+        y = v * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+        x0i = jnp.mod(x0.astype(jnp.int32), w)
+        x1i = jnp.mod(x0i + 1, w)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+        y1i = jnp.clip(y0i + 1, 0, h - 1)
+        c00 = self.image[y0i, x0i]
+        c10 = self.image[y0i, x1i]
+        c01 = self.image[y1i, x0i]
+        c11 = self.image[y1i, x1i]
+        col = ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+               + (c01 * (1 - fx) + c11 * fx) * fy)
+        return col * self.scale
+
+
+# ---------------------------------------------------------------------------
+# Environment importance sampling (sun/bright-texel NEE).
+#
+# The reference's env() is only a miss-shading hook (environment.glsl);
+# with an HDR sun disc (procedural.make_sky_environment puts ~80x radiance
+# in a few texels) naive path tracing converges hopelessly slowly.  These
+# helpers build a luminance x sin(theta) distribution over equirect texels
+# and sample/evaluate it — the integrator combines the two strategies
+# (cosine BSDF sampling vs env sampling) with balance-heuristic MIS, so
+# the estimator stays unbiased.  All device-side, recomputed per query
+# (a cumsum over H*W texels — trivial next to a single ray query).
+# ---------------------------------------------------------------------------
+
+_LUM = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+
+
+def _env_texel_probs(env: Environment):
+    """Per-texel selection probabilities p f32[H, W] (sums to 1) for the
+    equirect map, weighted by luminance x sin(theta) (the solid-angle
+    measure of an equirect row)."""
+    h, w, _ = env.image.shape
+    lum = jnp.maximum((env.image * env.scale) @ _LUM, 0.0)
+    theta = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * jnp.pi
+    wgt = lum * jnp.sin(theta)[:, None] + 1e-12
+    return wgt / jnp.sum(wgt)
+
+
+def sample_env_direction(env: Environment, u1, u2):
+    """Draw directions from the env's luminance distribution.
+
+    u1, u2 f32[R] uniforms -> (d f32[R,3], pdf f32[R] in solid-angle
+    measure).  Inverse-CDF over the flattened texel distribution (u1),
+    then in-texel jitter (the CDF remainder for x, u2 for y).
+    """
+    h, w, _ = env.image.shape
+    p = _env_texel_probs(env)
+    pf = p.reshape(-1)
+    cdf = jnp.cumsum(pf)
+    idx = jnp.clip(jnp.searchsorted(cdf, u1, side="left"), 0, h * w - 1)
+    y = idx // w
+    x = idx % w
+    cdf_lo = jnp.where(idx > 0, cdf[jnp.maximum(idx - 1, 0)], 0.0)
+    jx = jnp.clip((u1 - cdf_lo) / jnp.maximum(pf[idx], 1e-20), 0.0, 1.0)
+    u = (x.astype(jnp.float32) + jx) / w
+    v = (y.astype(jnp.float32) + u2) / h
+    phi = (u - 0.5) * (2.0 * jnp.pi)
+    sin_t = jnp.sin(jnp.pi * v)
+    d = jnp.stack([sin_t * jnp.cos(phi),
+                   jnp.cos(jnp.pi * v),
+                   sin_t * jnp.sin(phi)], axis=-1)
+    # pdf_solid = p_texel / texel_solid_angle; dOmega = 2 pi^2 sin(t)/(h w)
+    pdf = pf[idx] * (h * w) / (2.0 * jnp.pi ** 2
+                               * jnp.maximum(sin_t, 1e-6))
+    return d, pdf
+
+
+def env_pdf(env: Environment, d: jax.Array) -> jax.Array:
+    """Solid-angle pdf of ``sample_env_direction`` at directions d
+    (the other half of the MIS weight)."""
+    h, w, _ = env.image.shape
+    p = _env_texel_probs(env)
+    u = jnp.arctan2(d[:, 2], d[:, 0]) / (2.0 * jnp.pi) + 0.5
+    v = 0.5 - jnp.arcsin(jnp.clip(d[:, 1], -1.0, 1.0)) / jnp.pi
+    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - d[:, 1] ** 2, 1e-12))
+    return p[y, x] * (h * w) / (2.0 * jnp.pi ** 2
+                                * jnp.maximum(sin_t, 1e-6))

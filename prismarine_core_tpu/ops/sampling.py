@@ -16,6 +16,8 @@ Sample slot layout, consumed per bounce (see render/integrator.py):
   5: light sphere-point u1       (random.glsl:72-75)
   6: light sphere-point u2
   7: reserved (russian roulette / light selection)
+  8: environment NEE u1          (cfg.env_nee; models/textures.py)
+  9: environment NEE u2
 """
 
 from __future__ import annotations
@@ -28,8 +30,8 @@ from prismarine_core_tpu.utils.config import (
     SAMPLES_PER_BOUNCE, SAMPLES_PER_CAMERA_RAY)
 
 # slot indices
-S_ALPHA, S_SPEC, S_COS1, S_COS2, S_GLOSS, S_LIGHT1, S_LIGHT2, S_RESERVED = (
-    range(8))
+(S_ALPHA, S_SPEC, S_COS1, S_COS2, S_GLOSS, S_LIGHT1, S_LIGHT2, S_RESERVED,
+ S_ENV1, S_ENV2) = range(10)
 
 
 def make_sample_arrays(key: jax.Array, n_rays: int, max_bounces: int):

@@ -96,13 +96,23 @@ def make_sharded_renderer(mesh: Mesh, cfg: RenderConfig,
 # -- differentiable training step (inverse rendering) ---------------------
 
 def make_train_step(mesh: Mesh, cfg: RenderConfig, lr: float = 5e-2,
-                    shard_triangles: bool = False):
+                    shard_triangles: bool = False, lr_scale=None,
+                    normalize_grads: bool = False):
     """Inverse-rendering SGD step, the flagship 'training step':
     params = (material diffuse table, light colors, vertex positions);
     loss = MSE against a target image; gradients all-reduce over the mesh
     under GSPMD.  Returns jitted fn(params, scene, camera, cam_s,
     bounce_s, target) -> (params, loss).
+
+    ``lr_scale``: optional dict of per-param multipliers (e.g.
+    ``{"v0": 0.01}``) — vertex positions live on a very different
+    scale than colors, so one global rate either stalls the colors or
+    blows up the geometry.  ``normalize_grads``: RMS-normalize each
+    param's gradient before the step (sign-SGD-like; makes the step
+    size ``lr`` an absolute parameter-space distance, robust to the
+    spp-1 gradient-magnitude noise of a stochastic renderer).
     """
+    lr_scale = lr_scale or {}
     ray_sh = NamedSharding(mesh, P("data", None))
     bounce_sh = NamedSharding(mesh, P(None, "data", None))
     repl = NamedSharding(mesh, P())
@@ -116,6 +126,20 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, lr: float = 5e-2,
         tris = dataclasses.replace(scene.triangles, v0=params["v0"])
         scene = dataclasses.replace(scene, materials=mats, lights=lights,
                                     triangles=tris)
+        if cfg.intersector == "pallas_sharded":
+            # the production path: rebuild the acceleration structure
+            # from the updated geometry INSIDE the differentiated loss
+            # (the per-frame `markDirty(); build()` analog,
+            # Viewer.cpp:296-297) so vertex gradients flow through the
+            # sharded re-evaluation; GSPMD keeps the rebuilt packet
+            # arrays 'model'-sharded via the constraint.
+            from prismarine_core_tpu.accel.lbvh import build_bvh
+            from prismarine_core_tpu.parallel.shard_intersect import (
+                build_sharded_packets, constrain_packets)
+            bvh = build_bvh(tris, leaf_size=cfg.bvh_leaf_size)
+            sp = build_sharded_packets(bvh, mp=cfg.mesh.shape["model"])
+            scene = dataclasses.replace(
+                scene, packets=constrain_packets(sp, cfg.mesh), bvh=None)
         return scene
 
     def loss_fn(params, scene, camera, cam_s, bounce_s, target):
@@ -126,7 +150,13 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, lr: float = 5e-2,
     def step(params, scene, camera, cam_s, bounce_s, target):
         loss, grads = jax.value_and_grad(loss_fn)(
             params, scene, camera, cam_s, bounce_s, target)
-        params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        def upd(k, p):
+            g = grads[k]
+            if normalize_grads:
+                g = g / (jnp.sqrt(jnp.mean(g * g)) + 1e-8)
+            return p - lr * lr_scale.get(k, 1.0) * g
+
+        params = {k: upd(k, p) for k, p in params.items()}
         return params, loss
 
     # params inherit their arg shardings (v0 may arrive 'model'-sharded

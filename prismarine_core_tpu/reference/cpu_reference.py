@@ -153,7 +153,9 @@ def _light_weight(ldir, n, radius, dist):
 # -- the tracer ------------------------------------------------------------
 
 def trace_ray(sd: SceneData, o, d, bounce_samples, cfg) -> np.ndarray:
-    """Path-trace one ray. bounce_samples: f32[B, 8] (ops/sampling slots)."""
+    """Path-trace one ray. bounce_samples: f32[B, 10] (ops/sampling
+    slots; 8+ are the env-NEE uniforms, unused here — the oracle models
+    the reference's transport, which has no env importance sampling)."""
     beta = np.ones(3, np.float32)
     radiance = np.zeros(3, np.float32)
     o = np.array(o, np.float32)

@@ -271,19 +271,192 @@ def edge_boundary_image(scene: Scene, camera: Camera, cfg: RenderConfig,
     return flat.reshape(cfg.height, cfg.width, 3)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+def shadow_boundary_image(scene: Scene, camera: Camera,
+                          cfg: RenderConfig, edge_u: jax.Array,
+                          delta_px: float = 0.75) -> jax.Array:
+    """Value-zero f32[H,W,3] image carrying the SHADOW-silhouette
+    boundary gradient: the derivative of NEE visibility w.r.t. a
+    blocker's vertices (VERDICT r2 item 6 — the cast-shadow term the
+    primary-edge attachment cannot see, because the blocker's screen
+    silhouette may not move at all).
+
+    Method (light-space edge sampling, same estimator family as
+    ``edge_boundary_image``): sample points z on blocker edges
+    (3D-length CDF, 1/multiplicity), project each from the light CENTER
+    onto the receiver surface behind it (one detached closest-hit), and
+    attach a value-zero term at the screen projection m_s(theta) of the
+    shadow-curve point — differentiable through z and the light
+    center.  The radiance jump across the shadow curve is probed
+    explicitly: two receiver-plane points just off either side of the
+    curve are shadow-tested toward the light, so interior edges
+    (both sides blocked), multi-blocker overlaps, and orientation all
+    resolve from visibility (V^- - V^+ in {-1,0,+1}); the jump
+    magnitude is the receiver's expected NEE contribution
+    P(diffuse) * albedo * weight * lightcolor, evaluated with the
+    integrator's exact branch model (integrator.py:245-300).
+
+    Documented approximations: light 0 only, the sphere light is
+    treated as its center (exact as radius -> 0; penumbra-width error
+    otherwise), primary receivers only (shadows seen through mirrors
+    still use the detached estimator).
+    """
+    from prismarine_core_tpu.ops.intersect import intersect_sphere
+    from prismarine_core_tpu.ops.sampling import light_sampling_weight
+    from prismarine_core_tpu.render.integrator import (
+        _interpolate_surface, closest_hit, occluded)
+    from prismarine_core_tpu.utils.config import GAP, INF_DIST
+
+    soup = scene.triangles
+    B = edge_u.shape[0]
+    c = scene.lights.center[0]
+    radius = scene.lights.radius[0]
+    lcolor = scene.lights.color[0] * float(scene.lights.count)
+
+    # --- blocker edge selection: 3D length CDF, split across copies ---
+    ea = jnp.concatenate([soup.v0, soup.v1, soup.v2], axis=0)   # [3T,3]
+    eb = jnp.concatenate([soup.v1, soup.v2, soup.v0], axis=0)
+    evalid = jnp.concatenate([soup.valid] * 3, axis=0)
+    mult = sg(_edge_multiplicity(sg(ea), sg(eb), evalid))
+    len3 = jnp.linalg.norm(eb - ea, axis=-1)
+    w_len = sg(jnp.where(evalid, len3 / jnp.maximum(mult, 1), 0.0))
+
+    cdf = jnp.cumsum(w_len)
+    total = cdf[-1]
+    targets = edge_u * total
+    idx = jnp.clip(jnp.searchsorted(cdf, targets, side="right"),
+                   0, w_len.shape[0] - 1)
+    prev = jnp.where(idx > 0, cdf[jnp.maximum(idx - 1, 0)], 0.0)
+    frac = sg(jnp.clip((targets - prev)
+                       / jnp.maximum(w_len[idx], 1e-12), 0.0, 1.0))
+
+    z = ea[idx] + frac[:, None] * (eb[idx] - ea[idx])            # [B,3]
+    dz = z - c                                                   # diff.
+    dz_n = pm.normalize(sg(dz))
+
+    # --- detached receiver behind the blocker -------------------------
+    hit_r = closest_hit(scene, sg(z) + GAP * dz_n, dz_n, cfg)
+    tri_r = hit_r.tri
+    has_recv = tri_r >= 0
+    trix = jnp.maximum(tri_r, 0)
+    # frozen receiver plane
+    p0 = sg(soup.v0[trix])
+    n_r = sg(pm.normalize(jnp.cross(soup.v1[trix] - soup.v0[trix],
+                                    soup.v2[trix] - soup.v0[trix])))
+    denom = jnp.einsum("bk,bk->b", dz, n_r)
+    denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    s_par = jnp.einsum("bk,bk->b", p0 - c[None, :], n_r) / denom
+    r_pt = c[None, :] + s_par[:, None] * dz                      # diff.
+    behind = sg(s_par) > 1.0 + 1e-4   # receiver beyond the blocker
+
+    # --- screen projection + curve tangent ----------------------------
+    m_s, z_cam = project_to_screen(camera, cfg, r_pt)            # [B,2]
+    # tangent via a second (detached) point a bit along the edge
+    # (backward difference near t = 1; the boundary product is
+    # invariant under the implied n_perp flip, as the visibility jump
+    # flips with it)
+    dt_ = 1e-3
+    shift = sg(jnp.where(frac + dt_ <= 1.0, dt_, -dt_))
+    z2 = sg(ea[idx] + (frac + shift)[:, None] * (eb[idx] - ea[idx]))
+    s2 = jnp.einsum("bk,bk->b", p0 - c[None, :], n_r) \
+        / jnp.where(jnp.abs(jnp.einsum("bk,bk->b", z2 - c, n_r)) < 1e-9,
+                    1e-9, jnp.einsum("bk,bk->b", z2 - c, n_r))
+    r2 = c[None, :] + s2[:, None] * (z2 - c)
+    m_s2, _ = project_to_screen(camera, cfg, sg(r2))
+    dm = sg(m_s2 - m_s)
+    dm_dt = jnp.linalg.norm(dm, axis=-1) / dt_
+    e_hat = dm / jnp.maximum(jnp.linalg.norm(dm, axis=-1,
+                                             keepdims=True), 1e-12)
+    n_perp = jnp.stack([-e_hat[:, 1], e_hat[:, 0]], axis=-1)
+
+    # --- camera visibility of the receiver point ----------------------
+    m_sg = sg(m_s)
+    o_cam, d_cam = rays_through_screen(sg(camera), cfg, m_sg)
+    hit_cam = closest_hit(scene, o_cam, d_cam, cfg)
+    same_pt = (jnp.abs(hit_cam.t - jnp.linalg.norm(sg(r_pt) - o_cam,
+                                                   axis=-1))
+               < 0.05 * jnp.maximum(hit_cam.t, 1.0))
+    cam_vis = (hit_cam.tri == tri_r) & same_pt & (sg(z_cam) > _NEAR)
+
+    # --- visibility probes on both sides of the shadow curve ----------
+    def plane_point(spix):
+        o_p, d_p = rays_through_screen(sg(camera), cfg, spix)
+        dn = jnp.einsum("bk,bk->b", d_p, n_r)
+        dn = jnp.where(jnp.abs(dn) < 1e-9, 1e-9, dn)
+        tt = jnp.einsum("bk,bk->b", p0 - o_p, n_r) / dn
+        return o_p + tt[:, None] * d_p
+
+    def vis_at(pt):
+        ldir = pm.normalize(c[None, :] - pt)
+        t_l = intersect_sphere(pt + ldir * GAP, ldir, c[None, :],
+                               radius + GAP)
+        t_q = jnp.where(has_recv, t_l, 0.0)
+        return ~occluded(scene, pt + ldir * GAP, ldir, t_q, cfg)
+
+    v_plus = vis_at(plane_point(m_sg + delta_px * n_perp))
+    v_minus = vis_at(plane_point(m_sg - delta_px * n_perp))
+    jump = (v_minus.astype(jnp.float32)
+            - v_plus.astype(jnp.float32))                        # [B]
+
+    # --- expected NEE magnitude at the receiver -----------------------
+    surf = _interpolate_surface(scene, hit_cam, d_cam, cfg)
+    ns = surf["shading_normal"]
+    n_ff = pm.faceforward(ns, d_cam)
+    ldir_c = pm.normalize(c[None, :] - sg(r_pt))
+    dist = pm.length(c[None, :] - sg(r_pt))
+    w_light = light_sampling_weight(ldir_c, n_ff, radius, dist)
+    front = pm.dot(ns, ldir_c) >= 0.0
+    # branch model of integrator.step: P(diffuse) = alpha * (1 - spca)
+    cosmag = jnp.clip(
+        jnp.maximum(jnp.abs(pm.dot(d_cam, n_ff)), 1e-6)
+        ** (cfg.ior - 1.0), 0.0, 1.0)
+    dielectric = pm.mix(jnp.ones((B, 3)), jnp.full((B, 3), 0.05),
+                        cosmag[:, None])
+    sc = pm.mix(dielectric, surf["albedo"],
+                jnp.sqrt(jnp.clip(surf["metallic"], 0.0, 1.0))[:, None])
+    spca = jnp.clip(pm.length(sc), 0.0, 1.0)
+    p_diff = surf["alpha"] * (1.0 - spca)
+    f_nee = (surf["albedo"] * lcolor[None, :]
+             * (p_diff * w_light * front)[:, None])              # [B,3]
+    f_nee = jnp.where(jnp.isfinite(f_nee), f_nee, 0.0)
+
+    # --- assemble + splat ---------------------------------------------
+    pix = jnp.floor(m_sg).astype(jnp.int32)
+    in_img = ((pix[:, 0] >= 0) & (pix[:, 0] < cfg.width)
+              & (pix[:, 1] >= 0) & (pix[:, 1] < cfg.height))
+    use = (has_recv & behind & cam_vis & in_img & (total > 0.0)
+           & (w_len[idx] > 0.0))
+    weight = sg(jump[:, None] * f_nee
+                * (total * dm_dt / jnp.maximum(w_len[idx], 1e-12)
+                   / B)[:, None]
+                * use[:, None].astype(jnp.float32))              # [B,3]
+
+    phi = jnp.einsum("bk,bk->b", n_perp, m_s)
+    contrib = weight * (phi - sg(phi))[:, None]
+
+    flat = jnp.zeros((cfg.height * cfg.width, 3), jnp.float32)
+    lin = jnp.clip(pix[:, 1], 0, cfg.height - 1) * cfg.width \
+        + jnp.clip(pix[:, 0], 0, cfg.width - 1)
+    flat = flat.at[lin].add(contrib, mode="drop")
+    return flat.reshape(cfg.height, cfg.width, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg", "shadow_term"))
 def render_with_edge_gradients(scene: Scene, camera: Camera,
                                cfg: RenderConfig, cam_samples,
                                bounce_samples, edge_u,
-                               edge_bounce_samples):
-    """Primal render + boundary-gradient attachment.
+                               edge_bounce_samples,
+                               shadow_term: bool = False):
+    """Primal render + boundary-gradient attachment(s).
 
     Forward value == ``render_with_samples(...)`` exactly; reverse mode
     additionally differentiates silhouette motion w.r.t. vertex
-    positions and camera parameters."""
+    positions and camera parameters.  ``shadow_term=True`` adds the
+    cast-shadow (NEE visibility) boundary term as well."""
     from prismarine_core_tpu.render.integrator import render_with_samples
     img = render_with_samples(scene, camera, cfg, cam_samples,
                               bounce_samples)
     img = img + edge_boundary_image(scene, camera, cfg, edge_u,
                                     edge_bounce_samples)
+    if shadow_term and scene.lights.count > 0:
+        img = img + shadow_boundary_image(scene, camera, cfg, edge_u)
     return img

@@ -76,6 +76,14 @@ def closest_hit(scene: Scene, o, d, cfg: RenderConfig,
             return ret(hit, order)
         return ret(pk.intersect_closest_packet(
             scene.bvh, scene.packets, scene.triangles, o, d))
+    elif cfg.intersector == "pallas_sharded":
+        from prismarine_core_tpu.parallel.shard_intersect import (
+            sharded_intersect_closest)
+        if cfg.mesh is None:
+            raise ValueError("intersector='pallas_sharded' needs "
+                             "cfg.mesh (jax.sharding.Mesh)")
+        return ret(sharded_intersect_closest(cfg.mesh, scene.packets,
+                                             o, d, t_cap=t_cap))
     raise ValueError(f"unknown intersector {cfg.intersector!r}")
 
 
@@ -102,6 +110,10 @@ def occluded(scene: Scene, o, d, t_max, cfg: RenderConfig, order=None):
                                       order=order)
         return pk.occluded_packet(scene.bvh, scene.packets,
                                   scene.triangles, o, d, t_max)
+    elif cfg.intersector == "pallas_sharded":
+        from prismarine_core_tpu.parallel.shard_intersect import (
+            sharded_occluded)
+        return sharded_occluded(cfg.mesh, scene.packets, o, d, t_max)
     raise ValueError(f"unknown intersector {cfg.intersector!r}")
 
 
@@ -224,17 +236,60 @@ def _nee_contribution(scene: Scene, cfg: RenderConfig, p, n, ns_raw,
     return contrib, jnp.sum(need.astype(jnp.int32))
 
 
+def _env_nee_contribution(scene: Scene, cfg: RenderConfig, p, n,
+                          diffuse_beta, u, order=None):
+    """NEE toward the environment's bright texels with balance-heuristic
+    MIS against the cosine bounce (cfg.env_nee).
+
+    Samples the luminance distribution (textures.sample_env_direction),
+    shadow-tests to infinity, and weights by pdf_env/(pdf_env+pdf_cos);
+    the matching pdf_cos/(pdf_cos+pdf_env) factor is applied to the
+    miss-shading env pickup of the NEXT bounce via the ``prev_pdf``
+    carry, keeping the combined estimator unbiased.
+    """
+    from prismarine_core_tpu.models.textures import (env_pdf,
+                                                     sample_env_direction)
+    ldir, pdf_e = sample_env_direction(scene.environment,
+                                       u[:, smp.S_ENV1], u[:, smp.S_ENV2])
+    cos_l = pm.dot(ldir, n)
+    pdf_c = jnp.maximum(cos_l, 0.0) / jnp.pi
+    w_mis = pdf_e / jnp.maximum(pdf_e + pdf_c, 1e-20)
+    # gate on the SAME faceforwarded normal the cosine lobe samples
+    # around — the diffuse BSDF's hemisphere is n's, so pairing the MIS
+    # strategies on any other frame would lose energy
+    need = ((cos_l > 0.0) & (pdf_e > 0.0)
+            & (diffuse_beta > 0.0).any(-1))
+    shadow_o = p + ldir * GAP
+    t_query = jnp.where(need, INF_DIST, 0.0)
+    occ = occluded(scene, shadow_o, ldir, t_query, cfg, order=order)
+    env_l = scene.environment.sample(ldir)
+    # f/pdf for the lambertian: albedo/pi * cos / pdf_env, MIS-weighted
+    fac = (cos_l / jnp.pi) / jnp.maximum(pdf_e, 1e-20) * w_mis
+    contrib = jnp.where((need & ~occ)[:, None],
+                        diffuse_beta * env_l * fac[:, None], 0.0)
+    return contrib, jnp.sum(need.astype(jnp.int32))
+
+
 def make_bounce_step(scene: Scene, cfg: RenderConfig):
     """Build the per-bounce scan body (closure over static scene/config)."""
 
     def step(carry, u):
-        o, d, beta, radiance, alive = carry
+        o, d, beta, radiance, alive, prev_pdf = carry
         t_cap = jnp.where(alive, INF_DIST, 0.0)
         hit, order = closest_hit(scene, o, d, cfg, t_cap=t_cap,
                                  with_order=True)
 
         miss = alive & hit.missed
         env = scene.environment.sample(d)
+        if cfg.env_nee:
+            # MIS weight of the BSDF strategy for env light picked up on
+            # miss; prev_pdf == 0 marks delta/primary lanes (weight 1).
+            from prismarine_core_tpu.models.textures import env_pdf
+            pdf_e_d = env_pdf(scene.environment, d)
+            w_miss = jnp.where(
+                prev_pdf > 0.0,
+                prev_pdf / jnp.maximum(prev_pdf + pdf_e_d, 1e-20), 1.0)
+            env = env * w_miss[:, None]
         radiance = radiance + jnp.where(miss[:, None], beta * env, 0.0)
 
         on_surf = alive & ~hit.missed
@@ -303,17 +358,28 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig):
 
         # NEE from the diffuse branch (rayshading.comp:270-274).
         n_shadow = jnp.int32(0)
+        diffuse_beta = jnp.where(
+            (on_surf & choose_diff)[:, None], beta * surf["albedo"], 0.0)
         if cfg.direct_light and scene.lights.count > 0:
-            diffuse_beta = jnp.where(
-                (on_surf & choose_diff)[:, None],
-                beta * surf["albedo"], 0.0)
             nee, n_shadow = _nee_contribution(
                 scene, cfg, p, n, surf["shading_normal"], diffuse_beta,
                 u, order=order)
             radiance = radiance + nee
+        if cfg.env_nee:
+            env_nee, n_env_shadow = _env_nee_contribution(
+                scene, cfg, p, n, diffuse_beta, u, order=order)
+            radiance = radiance + env_nee
+            n_shadow = n_shadow + n_env_shadow
 
         # Lane liveness: throughput cutoff (rayshading.comp:240).
         new_alive = on_surf & (pm.length(new_beta) > cfg.min_throughput)
+
+        # pdf of the chosen continuation direction under its strategy:
+        # cosine pdf for diffuse lanes, 0 (delta) for specular /
+        # pass-through — consumed by the next bounce's miss-side MIS.
+        new_prev_pdf = jnp.where(
+            choose_diff & on_surf,
+            jnp.maximum(pm.dot(new_d, n), 0.0) / jnp.pi, 0.0)
 
         new_o = jnp.where(on_surf[:, None], new_o, o)
         new_d = jnp.where(on_surf[:, None], new_d, d)
@@ -327,7 +393,8 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig):
             jnp.sum(new_alive.astype(jnp.int32)),  # survivors
             n_shadow,                              # NEE shadow lanes
         ])
-        return (new_o, new_d, new_beta, radiance, new_alive), stats
+        return ((new_o, new_d, new_beta, radiance, new_alive,
+                 new_prev_pdf), stats)
 
     return step
 
@@ -354,9 +421,10 @@ def trace(scene: Scene, cfg: RenderConfig, o, d, bounce_samples,
         jnp.ones((r, 3), jnp.float32),
         jnp.zeros((r, 3), jnp.float32),
         jnp.ones((r,), bool) if active is None else active,
+        jnp.zeros((r,), jnp.float32),   # prev_pdf: primary rays = delta
     )
     step = make_bounce_step(scene, cfg)
-    (o, d, beta, radiance, alive), stats = jax.lax.scan(
+    (o, d, beta, radiance, alive, _), stats = jax.lax.scan(
         step, init, bounce_samples)
     return radiance, stats
 

@@ -19,7 +19,7 @@ INF_DIST = 10000.0      # "infinity" hit dist  (constants.glsl: INFINITY)
 
 # Number of uniform random samples consumed per bounce / per camera ray.
 # See render/integrator.py for the slot layout.
-SAMPLES_PER_BOUNCE = 8
+SAMPLES_PER_BOUNCE = 10
 SAMPLES_PER_CAMERA_RAY = 4
 
 
@@ -34,6 +34,12 @@ class RenderConfig:
     #: enable next-event-estimation shadow rays toward sphere light 0
     #: (reference: DIRECT_LIGHT_ENABLED, rayshading.comp:270-274)
     direct_light: bool = True
+    #: environment (sun) importance sampling: NEE toward the envmap's
+    #: bright texels with balance-heuristic MIS against the cosine
+    #: bounce.  Extends the reference (whose env() is only a miss hook,
+    #: environment.glsl); unbiased, dramatically lower variance under
+    #: HDR sun-disc skies (models/textures.py sample_env_direction).
+    env_nee: bool = False
     #: 360-degree equirectangular camera (camera.comp:48-59)
     camera_360: bool = False
     #: checkerboard interlacing — trace only half the pixels per frame
@@ -52,8 +58,13 @@ class RenderConfig:
     #: leaf size (triangles per BVH leaf)
     bvh_leaf_size: int = 4
     #: which intersector to use: "brute" | "bvh" | "packet" | "pallas"
-    #: ("pallas" is the production fused-kernel fast path)
+    #: | "pallas_sharded" ("pallas" is the production fused-kernel fast
+    #: path; "pallas_sharded" runs it over ``mesh`` with rays sharded
+    #: over 'data' and superblock ranges over 'model' — the scene must
+    #: carry ShardedPackets, see parallel/shard_intersect.py)
     intersector: str = "bvh"
+    #: device mesh for "pallas_sharded" (jax.sharding.Mesh; jit-static)
+    mesh: object = None
     #: traversal ray-chunk size (0 = whole batch in one while_loop);
     #: smaller chunks bound each while_loop's iteration count by the
     #: chunk's own worst ray instead of the global worst.

@@ -228,3 +228,71 @@ def test_inverse_rendering_recovers_vertex_offset():
         theta = theta - lr * grad_fn(theta, eu, ebs)
     assert abs(float(theta)) < 0.4 * theta0, (
         f"vertex offset {theta0} only reduced to {float(theta)}")
+
+
+def test_cast_shadow_silhouette_matches_fd():
+    """VERDICT r2 item 6: a blocker OUTSIDE the camera frustum casts a
+    shadow on a ground plane; moving its vertex changes the image ONLY
+    through the cast shadow.  The primary-edge boundary term cannot see
+    this (the blocker has no screen silhouette); the shadow boundary
+    term (``shadow_boundary_image``) must recover the FD slope."""
+    cfg = RenderConfig(width=32, height=32, spp=32, max_bounces=2,
+                       intersector="brute", tri_block=16,
+                       direct_light=True)
+    cam = Camera.look_at(eye=(0.0, 1.0, 0.0), target=(0.0, 0.0, 0.0),
+                         up=(0.0, 0.0, -1.0), fov_y_deg=40.0)
+
+    def build(dx):
+        # winding chosen so normals point +y (toward the light): the
+        # integrator's NEE gates on the raw shading normal
+        ground = np.array([[-9, 0, -9], [9, 0, -9], [9, 0, 9],
+                           [-9, 0, 9]], np.float32)
+        gfaces = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+        # one triangle floating ABOVE the camera (y=2 > eye y=1):
+        # never in frame, but between the light (y=8) and the ground
+        blocker = np.array([[-0.55 + dx, 2.0, -0.3],
+                            [0.25 + dx, 2.0, 0.45],
+                            [-0.15 + dx, 2.0, -0.55]], np.float32)
+        verts = np.concatenate([ground, blocker])
+        faces = np.concatenate([gfaces, np.array([[4, 5, 6]],
+                                                 np.int32)])
+        mids = np.array([0, 0, 1], np.int32)
+        tris = TriangleSoup.from_arrays(verts, faces, mat_ids=mids)
+        mats = MaterialTable.build([
+            {"diffuse": (0.75, 0.75, 0.75)},
+            {"diffuse": (0.0, 0.0, 0.0)},
+        ])
+        lights = SphereLights.single(center=(0.0, 8.0, 0.0),
+                                     radius=0.15,
+                                     color=(150.0, 150.0, 150.0))
+        env = Environment.constant((0.0, 0.0, 0.0))
+        return Scene.assemble(tris, mats, lights, env, build_bvh=False)
+
+    cam_s, bounce_s = make_sample_arrays(jax.random.key(0), cfg.n_rays,
+                                         cfg.max_bounces)
+    eu, ebs = make_edge_sample_arrays(jax.random.key(5), 4096,
+                                      cfg.max_bounces)
+    w = jnp.linspace(0.5, 1.5, 32 * 32 * 3).reshape(32, 32, 3)
+
+    def loss(theta):
+        base = build(0.0)
+        v0 = base.triangles.v0.at[2, 0].add(theta)   # blocker vertex
+        v1 = base.triangles.v1.at[2, 0].add(theta)
+        v2 = base.triangles.v2.at[2, 0].add(theta)
+        import dataclasses
+        tris = dataclasses.replace(base.triangles, v0=v0, v1=v1, v2=v2)
+        scene = dataclasses.replace(base, triangles=tris)
+        img = render_with_edge_gradients(scene, cam, cfg, cam_s,
+                                         bounce_s, eu, ebs,
+                                         shadow_term=True)
+        return jnp.sum(img * w)
+
+    g = float(jax.grad(loss)(jnp.float32(0.0)))
+    eps = 4e-2
+    fd = (float(loss(jnp.float32(+eps)))
+          - float(loss(jnp.float32(-eps)))) / (2 * eps)
+
+    assert abs(fd) > 5e-2, (
+        f"scene must have a moving shadow (fd={fd})")
+    assert abs(g - fd) < 0.25 * abs(fd) + 5e-2, (
+        f"shadow boundary gradient {g} vs FD {fd}")
