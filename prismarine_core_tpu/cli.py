@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "loadCubemap analog)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--camera-360", action="store_true")
+    p.add_argument("--env-nee", action="store_true",
+                   help="importance-sample the environment map's bright "
+                        "texels (MIS; recommended with HDR sun skies)")
+    p.add_argument("--intersector", default="pallas",
+                   choices=["brute", "bvh", "packet", "pallas"],
+                   help="intersection backend (default: the fused "
+                        "Pallas fast path)")
     return p
 
 
@@ -102,7 +109,9 @@ def main(argv=None) -> int:
         fov_y_deg=args.fov)
     cfg = RenderConfig(width=w, height=h, spp=args.spp,
                        max_bounces=args.depth,
-                       camera_360=args.camera_360)
+                       camera_360=args.camera_360,
+                       env_nee=args.env_nee,
+                       intersector=args.intersector)
 
     renderer = ProgressiveRenderer(scene, camera, cfg, seed=args.seed)
     t0 = time.perf_counter()

@@ -46,6 +46,20 @@ renderer = make_sharded_renderer(mesh, cfg)
 img = renderer(scene, camera,
                jax.device_put(cam_s), jax.device_put(bounce_s))
 print(f"RESULT {pid} {float(jnp.mean(img)):.6f}", flush=True)
+
+# PRODUCTION path across processes: the fused Pallas packet intersector
+# with superblock ranges sharded over 'model' (spanning both hosts) and
+# rays over 'data' — the cross-host form of dryrun_multichip part 1.
+import dataclasses
+from prismarine_core_tpu.parallel.shard_intersect import distribute_scene
+mesh2 = make_mesh(jax.device_count(), model_parallel=2)
+cfg2 = RenderConfig(width=16, height=16, spp=1, max_bounces=2,
+                    intersector="pallas_sharded", mesh=mesh2)
+dscene = distribute_scene(make_cornell_scene(capacity=64), mesh2)
+renderer2 = make_sharded_renderer(mesh2, cfg2)
+img2 = renderer2(dscene, camera,
+                 jax.device_put(cam_s), jax.device_put(bounce_s))
+print(f"RESULT2 {pid} {float(jnp.mean(img2)):.6f}", flush=True)
 """
 
 
@@ -65,10 +79,18 @@ def test_two_process_distributed_render(tmp_path):
         outs.append(out)
         assert p.returncode == 0, out[-2000:]
     means = []
+    means2 = []
     for out in outs:
-        lines = [l for l in out.splitlines() if l.startswith("RESULT")]
-        assert lines, out[-2000:]
+        lines = [l for l in out.splitlines()
+                 if l.startswith("RESULT ")]
+        lines2 = [l for l in out.splitlines()
+                  if l.startswith("RESULT2 ")]
+        assert lines and lines2, out[-2000:]
         means.append(float(lines[0].split()[2]))
+        means2.append(float(lines2[0].split()[2]))
     # both processes hold the same replicated result
     assert abs(means[0] - means[1]) < 1e-6
     assert means[0] > 1e-3  # not a black image
+    # production (pallas_sharded) path agrees across processes too
+    assert abs(means2[0] - means2[1]) < 1e-6
+    assert means2[0] > 1e-3
