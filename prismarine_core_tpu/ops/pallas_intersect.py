@@ -78,7 +78,9 @@ def _sb_kernel(pair_tile, pair_sb, pair_mask, first_pair,
                ray_ref,                        # [TILE, 16]
                tri_ref,                        # [1, 16, SB*BLOCK]
                prior_ref,                      # [TILE, 8]
-               out_ref):                       # [TILE, 8]
+               out_ref,                        # [TILE, 8]
+               run_tt,                         # scratch [TILE, BLOCK]
+               run_k):                         # scratch [TILE, BLOCK]
     i = pl.program_id(0)
 
     @pl.when(first_pair[i] == 1)
@@ -97,16 +99,22 @@ def _sb_kernel(pair_tile, pair_sb, pair_mask, first_pair,
     base_slot = pair_sb[i] * (SB * BLOCK)
     mask = pair_mask[i]
 
+    # DEFERRED-ARGMIN accumulation: each live sub-block folds its
+    # candidate (t, k) into a pair-local [TILE, BLOCK] running min with
+    # three elementwise ops; the expensive cross-lane argmin + the
+    # accumulator merge run ONCE per pair instead of once per
+    # sub-block.  Strict < keeps tie-breaking (lowest k, then lowest
+    # lane) identical to the sequential form, so results are
+    # bit-identical.
+    run_tt[:, :] = jnp.full((TILE, BLOCK), INF_DIST, jnp.float32)
+    run_k[:, :] = jnp.zeros((TILE, BLOCK), jnp.float32)
+
     for k in range(SB):
         @pl.when((mask >> k) & 1 == 1)
         def _mt(k=k):
             def trow(c):
                 return tri_ref[0, c,
                                k * BLOCK:(k + 1) * BLOCK][None, :]
-
-            best = out_ref[:, OC_T]
-            slot_best = jax.lax.bitcast_convert_type(
-                out_ref[:, OC_SLOT], jnp.int32)
 
             e1x, e1y, e1z = trow(TC_E1X), trow(TC_E1Y), trow(TC_E1Z)
             e2x, e2y, e2z = trow(TC_E2X), trow(TC_E2Y), trow(TC_E2Z)
@@ -131,26 +139,42 @@ def _sb_kernel(pair_tile, pair_sb, pair_mask, first_pair,
             ok = ((jnp.abs(det) >= _DET_EPS)
                   & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                   & (tt > PZERO) & (trow(TC_VALID) > 0.5))
-            tt = jnp.where(ok & (tt < best[:, None]), tt, INF_DIST)
+            tt = jnp.where(ok, tt, INF_DIST)
 
-            j = jnp.argmin(tt, axis=1)                     # [TILE]
-            tj = jnp.min(tt, axis=1)
-            better = tj < best
+            better = tt < run_tt[:, :]
+            run_k[:, :] = jnp.where(better, jnp.float32(k), run_k[:, :])
+            run_tt[:, :] = jnp.where(better, tt, run_tt[:, :])
 
-            best = jnp.where(better, tj, best)
-            slot_best = jnp.where(better,
-                                  base_slot + k * BLOCK + j,
-                                  slot_best)
+    @pl.when(mask != 0)
+    def _merge():
+        rt = run_tt[:, :]
+        best = out_ref[:, OC_T]
+        slot_best = jax.lax.bitcast_convert_type(
+            out_ref[:, OC_SLOT], jnp.int32)
 
-            colid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 1)
-            out = jnp.where(colid == OC_T, best[:, None],
-                            out_ref[:, :])
-            out = jnp.where(
-                colid == OC_SLOT,
-                jax.lax.bitcast_convert_type(
-                    slot_best, jnp.float32)[:, None],
-                out)
-            out_ref[:, :] = out
+        j = jnp.argmin(rt, axis=1)                         # [TILE]
+        tj = jnp.min(rt, axis=1)
+        better = tj < best
+
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (TILE, BLOCK), 1)
+                  == j[:, None])
+        kj = jnp.sum(jnp.where(onehot, run_k[:, :], 0.0),
+                     axis=1).astype(jnp.int32)             # [TILE]
+
+        best = jnp.where(better, tj, best)
+        slot_best = jnp.where(better,
+                              base_slot + kj * BLOCK + j,
+                              slot_best)
+
+        colid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 1)
+        out = jnp.where(colid == OC_T, best[:, None],
+                        out_ref[:, :])
+        out = jnp.where(
+            colid == OC_SLOT,
+            jax.lax.bitcast_convert_type(
+                slot_best, jnp.float32)[:, None],
+            out)
+        out_ref[:, :] = out
 
 
 @partial(jax.jit, static_argnames=("window",))
@@ -195,6 +219,10 @@ def pallas_sb_intersect_windowed(
             (TILE, 8),
             lambda i, pt, psb, pm, fp: (pt[i], 0),
             memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TILE, BLOCK), jnp.float32),   # run_tt
+            pltpu.VMEM((TILE, BLOCK), jnp.float32),   # run_k
+        ],
     )
 
     # CPU (tests / virtual mesh) has no Mosaic — fall back to the

@@ -35,11 +35,42 @@ from prismarine_core_tpu.utils.config import (
 
 
 def make_sample_arrays(key: jax.Array, n_rays: int, max_bounces: int):
-    """Uniforms for one frame: (cam f32[R,4], bounce f32[B,R,8])."""
+    """Uniforms for one frame: (cam f32[R,4], bounce f32[B,R,10])."""
     k1, k2 = jax.random.split(key)
     cam = jax.random.uniform(k1, (n_rays, SAMPLES_PER_CAMERA_RAY))
     bounce = jax.random.uniform(
         k2, (max_bounces, n_rays, SAMPLES_PER_BOUNCE))
+    return cam, bounce
+
+
+def make_coherent_sample_arrays(key: jax.Array, cfg, block=(8, 16)):
+    """Tile-correlated frame uniforms (coherent path tracing, Sadeghi
+    et al. 2009): every ray in an ``block``-pixel screen block (per spp
+    plane) shares the SAME bounce-sample rows, so secondary rays leave
+    nearby surface points in nearly identical directions and sort into
+    direction-tight packets — bounce queries approach primary-ray
+    coherence.  Camera jitter stays independent per ray.
+
+    Per-pixel expectations are unchanged (each pixel still sees uniform
+    samples), so the estimator remains unbiased; the correlation only
+    adds cross-pixel covariance *within a frame*, which the progressive
+    accumulator averages out across frames (fresh key per frame).
+
+    Returns (cam f32[R,4], bounce f32[B,R,10]) with the ray layout of
+    ``generate_rays`` (R = spp*H*W, [spp, H, W] row-major).
+    """
+    k1, k2 = jax.random.split(key)
+    cam = jax.random.uniform(k1, (cfg.n_rays, SAMPLES_PER_CAMERA_RAY))
+    bh, bw = block
+    nby = -(-cfg.height // bh)
+    nbx = -(-cfg.width // bw)
+    ub = jax.random.uniform(
+        k2, (cfg.max_bounces, cfg.spp, nby * nbx, SAMPLES_PER_BOUNCE))
+    by = jnp.arange(cfg.height, dtype=jnp.int32) // bh
+    bx = jnp.arange(cfg.width, dtype=jnp.int32) // bw
+    bid = (by[:, None] * nbx + bx[None, :]).reshape(-1)   # [H*W]
+    bounce = ub[:, :, bid, :].reshape(
+        cfg.max_bounces, cfg.n_rays, SAMPLES_PER_BOUNCE)
     return cam, bounce
 
 

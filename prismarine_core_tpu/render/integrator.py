@@ -466,6 +466,10 @@ def render(scene: Scene, camera: Camera, cfg: RenderConfig,
            key: jax.Array, interlace_stage=0) -> jax.Array:
     """Convenience wrapper: generate the frame's sample arrays from a
     threefry key and render."""
-    cam, bounce = smp.make_sample_arrays(key, cfg.n_rays, cfg.max_bounces)
+    if cfg.coherent_bounce_sampling:
+        cam, bounce = smp.make_coherent_sample_arrays(key, cfg)
+    else:
+        cam, bounce = smp.make_sample_arrays(key, cfg.n_rays,
+                                             cfg.max_bounces)
     return render_with_samples(scene, camera, cfg, cam, bounce,
                                interlace_stage)

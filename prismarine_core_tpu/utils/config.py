@@ -78,6 +78,12 @@ class RenderConfig:
     #: to N-1 after each blend, turning the average into a rolling one so
     #: animated content keeps updating.
     samples_lock: int = 0
+    #: coherent path tracing (Sadeghi et al. 2009): correlate bounce
+    #: samples across 8x16-pixel screen blocks so secondary rays form
+    #: direction-tight packets (large speedup on the packet/pallas
+    #: intersectors).  Unbiased per pixel; adds intra-frame cross-pixel
+    #: correlation that the progressive accumulator averages out.
+    coherent_bounce_sampling: bool = False
     #: sort rays by direction octant + origin morton before traversal
     #: (the TPU analog of the reference's wavefront compaction /
     #: optional ray sorting, Pipeline.hpp:101) — coherent chunks

@@ -134,3 +134,37 @@ def test_samples_lock_rolling_average():
     assert locked < 0.55, f"locked average should track change: {locked}"
     assert unlocked > 0.9, (
         f"unlocked average should retain history: {unlocked}")
+
+
+def test_coherent_bounce_sampling_unbiased():
+    """Coherent path tracing (cfg.coherent_bounce_sampling): block-
+    correlated bounce samples must leave per-pixel expectations
+    unchanged — the frame-averaged image converges to the independent
+    estimator's mean."""
+    from prismarine_core_tpu.models.scene import make_cornell_scene
+    from prismarine_core_tpu.ops.sampling import (
+        make_coherent_sample_arrays, make_sample_arrays)
+
+    scene = make_cornell_scene()
+    cfg = RenderConfig(width=16, height=16, spp=1, max_bounces=3,
+                       intersector="bvh")
+    cam = Camera.look_at(eye=(0.0, 0.0, 3.4), target=(0.0, 0.0, 0.0),
+                         fov_y_deg=50.0)
+
+    def avg(maker, n=24):
+        acc = None
+        for s in range(n):
+            cam_s, bounce_s = maker(jax.random.key(s))
+            img = render_with_samples(scene, cam, cfg, cam_s, bounce_s)
+            acc = img if acc is None else acc + img
+        return np.asarray(acc) / n
+
+    ind = avg(lambda k: make_sample_arrays(k, cfg.n_rays,
+                                           cfg.max_bounces))
+    coh = avg(lambda k: make_coherent_sample_arrays(k, cfg,
+                                                    block=(4, 4)))
+    # means agree within Monte-Carlo noise of 24 frames
+    d = abs(float(ind.mean()) - float(coh.mean()))
+    assert d < 0.05 * float(ind.mean()) + 0.01, (
+        f"coherent sampling shifted the mean: {ind.mean():.4f} vs "
+        f"{coh.mean():.4f}")
