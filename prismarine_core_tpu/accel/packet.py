@@ -730,18 +730,22 @@ def occluded_packet(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
 
 
 def intersect_closest_pallas(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
-                             o, d, t_cap=None, return_order=False):
+                             o, d, t_cap=None, return_order=False,
+                             order=None):
     """Closest hit via the fused Pallas kernel (fast path).
 
     ``t_cap`` (f32[R], optional): per-lane far limit; lanes with 0 are
     culled out of the pair lists entirely (dead-lane compaction).
     ``return_order``: also return the coherence sort (perm, inv_perm)
-    for reuse by this bounce's shadow query."""
+    for reuse by this bounce's shadow query.  ``order``: reuse a
+    previous query's sort instead of re-sorting
+    (cfg.reuse_bounce_order)."""
     sg = jax.lax.stop_gradient
     if t_cap is None:
         t_cap = jnp.full((o.shape[0],), INF_DIST)
     _, slot, order = _run_packet_pallas(
-        sg(bvh.lo[0]), sg(bvh.hi[0]), sg(ps), sg(o), sg(d), sg(t_cap))
+        sg(bvh.lo[0]), sg(bvh.hi[0]), sg(ps), sg(o), sg(d), sg(t_cap),
+        order=order)
     hit = _reeval_hit(bvh, soup, o, d, slot)
     return (hit, order) if return_order else hit
 

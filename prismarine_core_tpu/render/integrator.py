@@ -43,12 +43,13 @@ from prismarine_core_tpu.utils.config import GAP, INF_DIST, RenderConfig
 
 
 def closest_hit(scene: Scene, o, d, cfg: RenderConfig,
-                t_cap=None, with_order: bool = False):
+                t_cap=None, with_order: bool = False, order=None):
     """Dispatch to the configured intersector.  ``t_cap`` lets callers
     zero out lanes whose result is unused (dead-lane compaction; only
     the pallas path exploits it today).  ``with_order=True`` returns
     (hit, order) where ``order`` is the pallas path's coherence sort,
-    reusable by the same bounce's shadow query (None elsewhere)."""
+    reusable by the same bounce's shadow query (None elsewhere);
+    ``order`` passes a previous sort IN (cfg.reuse_bounce_order)."""
     def ret(hit, order=None):
         return (hit, order) if with_order else hit
 
@@ -72,7 +73,7 @@ def closest_hit(scene: Scene, o, d, cfg: RenderConfig,
         if cfg.intersector == "pallas":
             hit, order = pk.intersect_closest_pallas(
                 scene.bvh, scene.packets, scene.triangles, o, d,
-                t_cap=t_cap, return_order=True)
+                t_cap=t_cap, return_order=True, order=order)
             return ret(hit, order)
         return ret(pk.intersect_closest_packet(
             scene.bvh, scene.packets, scene.triangles, o, d))
@@ -270,14 +271,18 @@ def _env_nee_contribution(scene: Scene, cfg: RenderConfig, p, n,
     return contrib, jnp.sum(need.astype(jnp.int32))
 
 
-def make_bounce_step(scene: Scene, cfg: RenderConfig):
-    """Build the per-bounce scan body (closure over static scene/config)."""
+def make_bounce_step(scene: Scene, cfg: RenderConfig,
+                     fixed_order=None):
+    """Build the per-bounce scan body (closure over static scene/config).
+
+    ``fixed_order``: reuse a previous bounce's coherence permutation
+    instead of re-sorting (cfg.reuse_bounce_order; see ``trace``)."""
 
     def step(carry, u):
         o, d, beta, radiance, alive, prev_pdf = carry
         t_cap = jnp.where(alive, INF_DIST, 0.0)
         hit, order = closest_hit(scene, o, d, cfg, t_cap=t_cap,
-                                 with_order=True)
+                                 with_order=True, order=fixed_order)
 
         miss = alive & hit.missed
         env = scene.environment.sample(d)
@@ -423,6 +428,27 @@ def trace(scene: Scene, cfg: RenderConfig, o, d, bounce_samples,
         jnp.ones((r,), bool) if active is None else active,
         jnp.zeros((r,), jnp.float32),   # prev_pdf: primary rays = delta
     )
+    if (cfg.reuse_bounce_order and cfg.intersector == "pallas"
+            and bounce_samples.shape[0] > 1):
+        # Peel bounce 0 out of the scan: it sorts fresh and its
+        # coherence permutation is reused by every later bounce
+        # (bounce origins are the previous hits, so spatial coherence
+        # persists; with coherent_bounce_sampling, directions and
+        # branch coins stay block-correlated too).  Saves one 921k-key
+        # u32 sort per later bounce.
+        step0 = make_bounce_step(scene, cfg)
+        carry, stats0 = step0(init, bounce_samples[0])
+        o0, d0, *_ = carry
+        from prismarine_core_tpu.accel import packet as pk
+        _, _, _, order0, _ = pk._sort_pad_rays(
+            scene.bvh.lo[0], scene.bvh.hi[0],
+            jax.lax.stop_gradient(o0), jax.lax.stop_gradient(d0),
+            jnp.ones((r,)))
+        step_rest = make_bounce_step(scene, cfg, fixed_order=order0)
+        (o, d, beta, radiance, alive, _), stats_rest = jax.lax.scan(
+            step_rest, carry, bounce_samples[1:])
+        stats = jnp.concatenate([stats0[None], stats_rest])
+        return radiance, stats
     step = make_bounce_step(scene, cfg)
     (o, d, beta, radiance, alive, _), stats = jax.lax.scan(
         step, init, bounce_samples)

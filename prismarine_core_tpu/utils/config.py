@@ -84,6 +84,12 @@ class RenderConfig:
     #: intersectors).  Unbiased per pixel; adds intra-frame cross-pixel
     #: correlation that the progressive accumulator averages out.
     coherent_bounce_sampling: bool = False
+    #: reuse bounce 1's coherence permutation for every later bounce
+    #: instead of re-sorting (pallas intersector only): bounce origins
+    #: are the previous hits, so spatial coherence persists; saves one
+    #: full u32 ray sort per bounce.  Best combined with
+    #: coherent_bounce_sampling (directions/coins stay block-coherent).
+    reuse_bounce_order: bool = False
     #: sort rays by direction octant + origin morton before traversal
     #: (the TPU analog of the reference's wavefront compaction /
     #: optional ray sorting, Pipeline.hpp:101) — coherent chunks

@@ -109,3 +109,33 @@ def test_pallas_matches_brute(n_tris, r):
     ob = occluded_brute(soup, o, d, t_max, block=64)
     op = occluded_pallas(bvh, ps, soup, o, d, t_max)
     np.testing.assert_array_equal(np.asarray(op), np.asarray(ob))
+
+
+def test_reuse_bounce_order_matches():
+    """cfg.reuse_bounce_order reuses bounce 1's coherence permutation
+    for later bounces; any permutation is valid (the min-reduce is
+    order-independent), so images must match up to coplanar-edge
+    tie-breaks."""
+    import dataclasses
+
+    import numpy as np
+
+    from prismarine_core_tpu.models.camera import Camera
+    from prismarine_core_tpu.models.scene import make_cornell_scene
+    from prismarine_core_tpu.ops.sampling import make_sample_arrays
+    from prismarine_core_tpu.render.integrator import render_with_samples
+    from prismarine_core_tpu.utils.config import RenderConfig
+
+    scene = make_cornell_scene()
+    cam = Camera.look_at(eye=(0.0, 0.0, 3.4), target=(0.0, 0.0, 0.0),
+                         fov_y_deg=50.0)
+    cfg = RenderConfig(width=24, height=24, spp=1, max_bounces=3,
+                       intersector="pallas")
+    cam_s, bounce_s = make_sample_arrays(jax.random.key(0), cfg.n_rays,
+                                         cfg.max_bounces)
+    ref = np.asarray(render_with_samples(scene, cam, cfg, cam_s,
+                                         bounce_s))
+    cfg2 = dataclasses.replace(cfg, reuse_bounce_order=True)
+    img = np.asarray(render_with_samples(scene, cam, cfg2, cam_s,
+                                         bounce_s))
+    np.testing.assert_allclose(img, ref, atol=1e-4)
