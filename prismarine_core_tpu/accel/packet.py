@@ -15,14 +15,16 @@ re-shaped for the VPU:
 3. an exact dense cull slab-tests every ray against every *superblock*
    (nb/8 columns) and OR-reduces per tile — O(R * nsb), an order cheaper
    than the r1 per-ray x per-block cull;
-4. surviving (tile, superblock) pairs compact into a tile-major list
-   (one cumsum + scatter) and stream through the fused Pallas kernel
-   (ops/pallas_intersect.py), which finishes the cull at block
-   granularity IN KERNEL (slab test vs the 8 block boxes, per-ray
-   pruned against the running closest t) and Möller–Trumbore-tests only
-   the sub-blocks some ray overlaps;
+4. surviving (tile, superblock) pairs execute FRONT-TO-BACK through
+   the fused Pallas kernel (ops/pallas_intersect.py) under one of two
+   strategies (``_run_packet_pallas``): "two_round" for closest-hit
+   (K nearest superblocks per tile, then one exact re-cull of the rest
+   against the tightened per-ray caps) and "rounds" for any-hit
+   (fully ordered K-at-a-time rounds with exact cap-based exit);
+   per-pair 8-bit block masks predicate the in-kernel work;
 5. per-ray closest hits fold across pairs in the kernel's VMEM
-   accumulator, then unsort.
+   accumulator (deferred argmin: one cross-lane reduction per pair),
+   then unsort.
 
 Every memory access is a contiguous 128-row slice; all hot math is dense
 broadcasting that XLA/Mosaic fuse into the block-min reduction.
