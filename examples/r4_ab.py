@@ -1,0 +1,102 @@
+"""Round-4 A/B: frame-level timing of the new cull/sort/compaction paths.
+
+Runs the BENCH config (hall 137k tris, 720p, 4 bounces, HDR sky,
+coherent sampling) across pipeline variants in ONE process (one tunnel
+session); prints ms/frame with forced readbacks, bench-style warmup.
+
+Usage: python examples/r4_ab.py [n_tris] [--quick] [--set NAME ...]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+
+import jax
+import numpy as np
+
+VARIANTS = {
+    # round-3 production path (control)
+    "r3-xla-full": dict(cull_impl="xla", sort_mode="full"),
+    # round-4 cull kernel, two recull modes
+    "cull-tn": dict(cull_impl="pallas", sort_mode="full", recull="tn"),
+    "cull-kernel": dict(cull_impl="pallas", sort_mode="full",
+                        recull="kernel"),
+    # sort variants on top of the cull kernel
+    "cull+packed": dict(cull_impl="pallas", sort_mode="packed",
+                        recull="tn"),
+    "cull+group": dict(cull_impl="pallas", sort_mode="group",
+                       recull="tn"),
+    # strategy sweep on the winning cull (closest rounds K=16 was the
+    # round-3 incoherent winner; bounce queries are semi-coherent under
+    # coherent sampling)
+    "cull+group+rounds16": dict(cull_impl="pallas", sort_mode="group",
+                                recull="tn", closest_strategy="rounds",
+                                closest_k=16),
+}
+
+
+def run_variant(name, scene, camera, cfg0, cam_s, bounce_s, n_frames=3):
+    from prismarine_core_tpu.render.integrator import render_with_samples
+    cfg = dataclasses.replace(cfg0, **VARIANTS[name])
+    t0 = time.perf_counter()
+    img, stats = render_with_samples(scene, camera, cfg, cam_s, bounce_s,
+                                     with_stats=True)
+    mean = float(img.mean())
+    compile_s = time.perf_counter() - t0
+    stats = np.asarray(stats)
+    rays = int(stats[:, 0].sum() + stats[:, 4].sum())
+
+    img = render_with_samples(scene, camera, cfg, cam_s, bounce_s)
+    float(img.mean())
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        img = render_with_samples(scene, camera, cfg, cam_s, bounce_s)
+        float(img.mean())
+    dt = (time.perf_counter() - t0) / n_frames
+    print(f"[r4_ab] {name:24s} {dt*1e3:8.1f} ms/frame  "
+          f"{rays/dt/1e6:6.2f} Mrays/s  (mean={mean:.4f}, "
+          f"compile {compile_s:.0f}s, {rays:,} live rays)", flush=True)
+    return dt
+
+
+def main():
+    from prismarine_core_tpu.models.camera import Camera
+    from prismarine_core_tpu.models.procedural import (
+        make_hall_scene, make_sky_environment)
+    from prismarine_core_tpu.ops.sampling import make_coherent_sample_arrays
+    from prismarine_core_tpu.utils.config import RenderConfig
+
+    args = [a for a in sys.argv[1:] if a.isdigit()]
+    n_tris = int(args[0]) if args else 100_000
+    names = list(VARIANTS)
+    if "--set" in sys.argv:
+        names = sys.argv[sys.argv.index("--set") + 1:]
+    if "--quick" in sys.argv:
+        names = ["r3-xla-full", "cull-tn"]
+
+    print(f"[r4_ab] devices={jax.devices()}", flush=True)
+    cfg = RenderConfig(width=1280, height=720, spp=1, max_bounces=4,
+                       intersector="pallas", bvh_leaf_size=4,
+                       coherent_bounce_sampling=True)
+    scene = make_hall_scene(target_tris=n_tris)
+    scene = dataclasses.replace(
+        scene, environment=make_sky_environment(resolution=128))
+    scene = jax.device_put(scene)
+    camera = Camera.look_at(eye=(-10.0, 2.2, 0.0), target=(6.0, 1.6, 0.0),
+                            fov_y_deg=60.0)
+    cam_s, bounce_s = make_coherent_sample_arrays(
+        jax.random.key(0), cfg, block=(16, 16))
+    print(f"[r4_ab] scene tris={int(scene.triangles.num_valid())}",
+          flush=True)
+
+    for name in names:
+        if name not in VARIANTS:
+            print(f"[r4_ab] unknown variant {name}", flush=True)
+            continue
+        run_variant(name, scene, camera, cfg, cam_s, bounce_s)
+
+
+if __name__ == "__main__":
+    main()

@@ -324,6 +324,129 @@ def _compact_topk(cand, cand_ok, nt, nsb_sentinel):
                          nt, nsb_sentinel)
 
 
+def _live_tile_bound(tct):
+    """i32[]: 1 + index of the LAST tile holding any live lane.
+
+    Dead lanes sort last (``_ray_sort_keys``), so for freshly-sorted
+    queries this is the live-tile prefix length; for order-reusing
+    shadow queries it is a correct (if looser) bound.  Cull and
+    compaction cost scale with it instead of with nt."""
+    live_t = (tct > 0.0).any(axis=1)
+    idx = jnp.arange(live_t.shape[0], dtype=jnp.int32)
+    return jnp.max(jnp.where(live_t, idx + 1, 0))
+
+
+def _compact_codes(flat, codes, bound, sentinel, window: int = 1 << 18):
+    """Windowed cumsum+scatter compaction of ``codes[flat]`` bounded by
+    the live prefix.
+
+    ``flat`` bool[lw] selects entries; positions >= ``bound`` must all
+    be False (dead-tile suffix).  The while_loop trip count is
+    ceil(bound / window), so late-bounce queries (mostly-dead tiles)
+    pay a fraction of the full 1.8M-element scatter that round 3
+    measured at ~44 ms/query.  Returns (packed i32[lw], n_set)."""
+    lw = flat.shape[0]
+    window = min(window, lw)
+    wpad = (-lw) % window
+    fi = flat.astype(jnp.int32)
+    if wpad:
+        fi = jnp.concatenate([fi, jnp.zeros((wpad,), jnp.int32)])
+        codes = jnp.concatenate(
+            [codes, jnp.full((wpad,), sentinel, jnp.int32)])
+    out0 = jnp.full((lw + 1,), sentinel, jnp.int32)
+
+    def cond(state):
+        start, _, _ = state
+        return start < bound
+
+    def body(state):
+        start, total, out = state
+        f = jax.lax.dynamic_slice(fi, (start,), (window,))
+        c = jax.lax.dynamic_slice(codes, (start,), (window,))
+        pos = total + jnp.cumsum(f) - f
+        # unselected entries all land on slot lw (sliced off below); the
+        # racy duplicate writes there are benign — same precedent as
+        # _compact_flat
+        target = jnp.where(f > 0, pos, lw)
+        out = out.at[target].set(c, mode="drop", unique_indices=True)
+        return start + window, total + jnp.sum(f), out
+
+    _, n_set, out = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), out0))
+    return out[:lw], n_set
+
+
+def _compact_pairs_masked(sb_mask, mask8, bound_rows):
+    """[nt, nsb] candidate mask + per-pair 8-bit block masks -> packed
+    tile-major pair list via ONE windowed scatter (two when the id+mask
+    packing exceeds 31 bits).  Replaces _compact_pairs + _block_masks
+    on the pallas-cull path: masks ride along as code bits, so no
+    separate mask stage and no gathers."""
+    nt, nsb = sb_mask.shape
+    lw = nt * nsb
+    tb = max(nt, 1).bit_length()
+    sbb = max(nsb, 1).bit_length()
+    iota = jnp.arange(lw, dtype=jnp.int32)
+    tile_of = iota // nsb
+    sb_of = iota - tile_of * nsb
+    flat = sb_mask.reshape(-1)
+    bound = jnp.minimum(bound_rows * nsb, lw)
+    if tb + sbb + 8 <= 31:
+        codes = ((tile_of << (sbb + 8)) | (sb_of << 8)
+                 | (mask8.reshape(-1) & 0xFF))
+        sentinel = (nt << (sbb + 8)) | (nsb << 8)
+        packed, n_pairs = _compact_codes(flat, codes, bound, sentinel)
+        return (packed >> (sbb + 8), (packed >> 8) & ((1 << sbb) - 1),
+                packed & 0xFF, n_pairs)
+    assert tb + sbb <= 31, "scene/ray count exceeds pair-packing range"
+    codes = (tile_of << sbb) | sb_of
+    sentinel = (nt << sbb) | nsb
+    packed, n_pairs = _compact_codes(flat, codes, bound, sentinel)
+    pm, _ = _compact_codes(flat, mask8.reshape(-1), bound, 0)
+    return packed >> sbb, packed & ((1 << sbb) - 1), pm, n_pairs
+
+
+def _compact_topk_masked(cand, cand_ok, pmask, nt, nsb):
+    """[nt, K] per-tile candidates + validity + per-candidate 8-bit
+    masks -> packed tile-major pair list (static length nt*K)."""
+    k = cand.shape[1]
+    lw = nt * k
+    tb = max(nt, 1).bit_length()
+    sbb = max(nsb, 1).bit_length()
+    tile_of = jnp.arange(lw, dtype=jnp.int32) // k
+    flat = cand_ok.reshape(-1)
+    sb_of = jnp.minimum(cand.reshape(-1), nsb)
+    if tb + sbb + 8 <= 31:
+        codes = ((tile_of << (sbb + 8)) | (sb_of << 8)
+                 | (pmask.reshape(-1) & 0xFF))
+        sentinel = (nt << (sbb + 8)) | (nsb << 8)
+        packed, n_pairs = _compact_codes(flat, codes, lw, sentinel)
+        return (packed >> (sbb + 8), (packed >> 8) & ((1 << sbb) - 1),
+                packed & 0xFF, n_pairs)
+    assert tb + sbb <= 31, "scene/ray count exceeds pair-packing range"
+    codes = (tile_of << sbb) | sb_of
+    sentinel = (nt << sbb) | nsb
+    packed, n_pairs = _compact_codes(flat, codes, lw, sentinel)
+    pm, _ = _compact_codes(flat, pmask.reshape(-1), lw, 0)
+    return packed >> sbb, packed & ((1 << sbb) - 1), pm, n_pairs
+
+
+def _tables_with_cap(tn_blk, cap_tile, nsb):
+    """Re-derive (sb_mask, mask8) from saved block entry distances under
+    TIGHTENED per-tile caps — the cheap two_round re-cull: blocks whose
+    round-1 entry distance exceeds the tile's worst surviving cap can
+    no longer contain a better hit.  Tile-granular (the kernel re-cull
+    is per-ray exact); strictly conservative, so results are
+    unchanged."""
+    nt = tn_blk.shape[0]
+    cap = cap_tile[:, None, None]
+    blk = tn_blk[:, :nsb * SB].reshape(nt, nsb, SB)
+    ok = (blk <= cap) & (cap > 0.0)
+    bits = (1 << jnp.arange(SB, dtype=jnp.int32))[None, None, :]
+    mask8 = jnp.sum(jnp.where(ok, bits, 0), axis=-1)
+    return mask8 != 0, mask8
+
+
 def _ray_sort_keys(root_lo, root_hi, o, d, t_cap=None):
     """Coherence key: dead(1b) ++ octant(3b) ++ origin-Morton(15b) ++
     direction-Morton(12b).
@@ -449,20 +572,63 @@ def _packet_core(bvh: BVH, ps: PacketSet, o, d, t_cap, any_hit: bool):
             bv.reshape(r))
 
 
-def _sort_pad_rays(root_lo, root_hi, o, d, t_cap, order=None):
+def _sort_pad_rays(root_lo, root_hi, o, d, t_cap, order=None,
+                   mode: str = "full"):
     """Coherence-sort rays and pad to a TILE multiple.
 
     ``order`` (perm, inv_perm) reuses a previous query's sort — shadow
     rays originate at the closest-hit points, so the bounce query's
     origin-coherent order transfers to them and the (expensive) u32
     lax.sort is paid once per bounce, not once per query.
+
+    ``mode`` trades sort cost against tile tightness (the full u32 sort
+    was a measured 57 ms/query at 921k rays, PERF.md r3):
+
+    * ``"full"``   — 2-array (key, iota) sort on the full 31-bit key.
+    * ``"packed"`` — ONE-array u32 sort: the top ``32 - ceil_log2(R)``
+      key bits become the bin, the low bits carry the ray index, so the
+      permutation falls out of the sorted word itself.  Within a bin,
+      rays keep image order (scanline-adjacent pixels stay adjacent).
+    * ``"group"``  — sort GROUPS of 16 consecutive rays by their
+      live-lane centroid key (16x fewer elements, full key width).
+      Exact for any estimator; tightest when neighboring rays are
+      already correlated (camera rays, coherent bounce sampling).
+
     Returns (o, d, t_cap, (perm, inv_perm), n_orig)."""
     r = o.shape[0]
     if order is None:
-        keys = _ray_sort_keys(root_lo, root_hi, o, d, t_cap)
         iota = jnp.arange(r, dtype=jnp.int32)
-        _, perm = jax.lax.sort((keys, iota), num_keys=1)
-        inv_perm = jnp.zeros((r,), jnp.int32).at[perm].set(iota)
+        if mode == "group" and r % 16 == 0 and r >= 2048:
+            g = 16
+            ng = r // g
+            live = (t_cap.reshape(ng, g) > 0.0)
+            cnt = live.sum(axis=1)
+            w = live[:, :, None].astype(jnp.float32)
+            denom = jnp.maximum(cnt, 1).astype(jnp.float32)[:, None]
+            oc = (o.reshape(ng, g, 3) * w).sum(axis=1) / denom
+            dc = (d.reshape(ng, g, 3) * w).sum(axis=1) / denom
+            keys_g = _ray_sort_keys(
+                root_lo, root_hi, oc, dc,
+                t_cap=jnp.where(cnt > 0, 1.0, 0.0))
+            iota_g = jnp.arange(ng, dtype=jnp.int32)
+            _, perm_g = jax.lax.sort((keys_g, iota_g), num_keys=1)
+            perm = (perm_g[:, None] * g
+                    + jnp.arange(g, dtype=jnp.int32)[None, :]).reshape(-1)
+            inv_g = jnp.zeros((ng,), jnp.int32).at[perm_g].set(iota_g)
+            inv_perm = inv_g[iota // g] * g + (iota % g)
+        elif mode == "packed":
+            keys = _ray_sort_keys(root_lo, root_hi, o, d, t_cap)
+            idx_bits = max(1, (r - 1).bit_length())
+            packed = ((keys >> jnp.uint32(idx_bits)) << jnp.uint32(idx_bits)
+                      ) | iota.astype(jnp.uint32)
+            packed = jax.lax.sort(packed)
+            perm = (packed
+                    & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+            inv_perm = jnp.zeros((r,), jnp.int32).at[perm].set(iota)
+        else:
+            keys = _ray_sort_keys(root_lo, root_hi, o, d, t_cap)
+            _, perm = jax.lax.sort((keys, iota), num_keys=1)
+            inv_perm = jnp.zeros((r,), jnp.int32).at[perm].set(iota)
     else:
         perm, inv_perm = order
     o, d, t_cap = o[perm], d[perm], t_cap[perm]
@@ -499,10 +665,10 @@ def _run_kernel(pair_tile, pair_sb, pair_mask, n_real, rays, planes,
 #: per-round budget of the front-to-back query: each round executes
 #: each tile's next K_FIRST nearest remaining superblocks (by tile-min
 #: box entry distance).  Morton-adjacent blocks make "nearest
-#: superblock contains the hit" unreliable for K=1 (measured ~1-2% in
-#: round 2's abandoned two-pass variant) but K=8 captures the true hit
-#: for the large majority of rays in the first round, so later rounds
-#: retire almost everything against the tightened per-ray caps.
+#: superblock contains the hit" unreliable for K=1 (measured ~1-2%
+#: wrong-hit rate when round 2 was skipped) but K=8 captures the true
+#: hit for the large majority of rays in the first round, so later
+#: rounds retire almost everything against the tightened per-ray caps.
 K_FIRST = 8
 
 
@@ -510,8 +676,12 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
                        any_hit: bool = False, window: int = 1024,
                        order=None, two_round: bool = True,
                        k_round: int | None = None,
-                       strategy: str | None = None):
-    """Pallas fast path: sort+tile rays, dense superblock cull,
+                       strategy: str | None = None,
+                       cull_impl: str = "pallas",
+                       sort_mode: str = "full",
+                       recull: str = "kernel",
+                       cull_chunk: int = 1024):
+    """Pallas fast path: sort+tile rays, dense block-granular cull,
     front-to-back pair execution, unsort.  Returns (t, slot, order).
 
     Three execution strategies (measured on the hall 137k-tri bench,
@@ -519,22 +689,30 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
 
     * ``"single"``  — one dense compaction, every pair executes.
     * ``"two_round"`` — K nearest superblocks per tile (top_k on the
-      cull's entry distances) first, then ONE exact re-cull of the
-      rest against the tightened per-ray caps.  Fastest for closest-
-      hit queries: the re-cull retires most remaining pairs in one
-      cheap dense pass (coherent 196 ms vs 240+ for multi-round).
+      cull's entry distances) first, then ONE re-cull of the rest
+      against the tightened caps.  Fastest for closest-hit queries.
     * ``"rounds"``  — full per-tile front-to-back ordering (one
       row-wise ``lax.sort``), then K-at-a-time rounds in a
       ``while_loop``; each round re-reads per-ray caps, and the loop
       exits as soon as no tile's nearest remaining candidate can beat
       its cap (exact: candidates are tn-ascending).  Fastest for
-      ANY-HIT queries (322 vs 375 ms incoherent): finished lanes zero
-      their caps, so whole rounds evaporate.
+      ANY-HIT queries: finished lanes zero their caps, so whole
+      rounds evaporate.
 
     Default: ``"rounds"`` for any-hit, ``"two_round"`` for closest.
+
+    ``cull_impl``: "pallas" runs the block-granular cull kernel
+    (ops/pallas_cull.py) which yields superblock candidates, entry
+    distances AND the per-pair 8-bit block masks in one pass; "xla" is
+    the round-3 two-stage fallback (superblock scan + windowed
+    _block_masks).  ``recull``: how two_round prunes round 2 on the
+    pallas path — "tn" re-derives pairs from the saved block entry
+    distances under per-tile caps (no second cull), "kernel" re-runs
+    the cull kernel with per-ray tightened caps (exact, costlier).
+    ``sort_mode``: see _sort_pad_rays.
     """
     o, d, t_cap, order, r = _sort_pad_rays(root_lo, root_hi, o, d,
-                                           t_cap, order)
+                                           t_cap, order, mode=sort_mode)
     rp = o.shape[0]
     nt = rp // TILE
 
@@ -544,7 +722,8 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
     inv = _safe_inv(dt)
     nsb = ps.n_superblocks
 
-    from prismarine_core_tpu.ops.pallas_intersect import RAY_COLS
+    from prismarine_core_tpu.ops.pallas_intersect import (RAY_COLS,
+                                                          RC_TCAP)
 
     # rays layout [(nt+1)*TILE, 16]: component columns + 1/d + one
     # padding tile (all-zero: t_cap 0, never hits)
@@ -561,25 +740,59 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
     if not two_round or nsb <= k_first:
         strategy = "single"
 
-    # dense exact cull at superblock granularity
+    use_pallas_cull = cull_impl == "pallas"
+    n_live = _live_tile_bound(tct)
+
+    # ---- dense cull: candidate superblocks + entry distances + masks
+    tn_blk = box_rows = None
+    if use_pallas_cull:
+        from prismarine_core_tpu.ops.pallas_cull import (
+            box_rows_from_blocks, derive_pair_tables, pallas_block_cull)
+        box_rows = box_rows_from_blocks(ps.block_lo, ps.block_hi)
+        tn_blk = pallas_block_cull(rays, box_rows, n_live,
+                                   chunk=cull_chunk)
+        sb_mask, sb_tn, mask8 = derive_pair_tables(tn_blk, nsb, SB)
+    else:
+        mask8 = None
+        if strategy == "single":
+            sb_mask = _per_ray_tile_overlap(ot, inv, tct,
+                                            ps.sb_lo, ps.sb_hi)
+            sb_tn = None
+        else:
+            sb_mask, sb_tn = _per_ray_tile_overlap(
+                ot, inv, tct, ps.sb_lo, ps.sb_hi, return_tn=True)
+
+    def compact_dense(mask, tct_eff, m8, bound):
+        """[nt, nsb] candidate mask -> (pt, psb, pm, n_pairs)."""
+        if m8 is not None:
+            return _compact_pairs_masked(mask, m8, bound)
+        pt, psb, np_ = _compact_pairs(mask, nsb)
+        pm = _block_masks(ot, inv, tct_eff, pt, psb, np_,
+                          ps.block_lo, ps.block_hi)
+        return pt, psb, pm, np_
+
+    def compact_topk(cand, ok, tct_eff, m8):
+        """[nt, K] candidates -> (pt, psb, pm, n_pairs)."""
+        if m8 is not None:
+            pmk = jnp.take_along_axis(
+                m8, jnp.minimum(cand, nsb - 1), axis=1)
+            pmk = jnp.where(ok, pmk, 0)
+            return _compact_topk_masked(cand, ok, pmk, nt, nsb)
+        pt, psb, np_ = _compact_topk(cand, ok, nt, nsb)
+        pm = _block_masks(ot, inv, tct_eff, pt, psb, np_,
+                          ps.block_lo, ps.block_hi)
+        return pt, psb, pm, np_
+
     if strategy == "single":
-        sb_mask = _per_ray_tile_overlap(ot, inv, tct, ps.sb_lo, ps.sb_hi)
-        pair_tile, pair_sb, n_pairs = _compact_pairs(sb_mask, nsb)
-        pair_mask = _block_masks(ot, inv, tct, pair_tile, pair_sb,
-                                 n_pairs, ps.block_lo, ps.block_hi)
-        out = _run_kernel(pair_tile, pair_sb, pair_mask, n_pairs, rays,
+        pt, psb, pm, np_ = compact_dense(sb_mask, tct, mask8, n_live)
+        out = _run_kernel(pt, psb, pm, np_, rays,
                           ps.planes, nt, nsb, window)
     elif strategy == "two_round":
-        sb_mask, sb_tn = _per_ray_tile_overlap(
-            ot, inv, tct, ps.sb_lo, ps.sb_hi, return_tn=True)
-
         # ---- round 1: K nearest candidate superblocks per tile ----
         tn_cand = jnp.where(sb_mask, sb_tn, INF_DIST)
         neg_tn, cand = jax.lax.top_k(-tn_cand, k_first)   # [nt, K]
         cand_ok = -neg_tn < INF_DIST
-        pt1, psb1, np1 = _compact_topk(cand, cand_ok, nt, nsb)
-        pm1 = _block_masks(ot, inv, tct, pt1, psb1, np1,
-                           ps.block_lo, ps.block_hi)
+        pt1, psb1, pm1, np1 = compact_topk(cand, cand_ok, tct, mask8)
         out = _run_kernel(pt1, psb1, pm1, np1, rays, ps.planes,
                           nt, nsb, window)
 
@@ -595,19 +808,39 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
         executed = jnp.zeros((nt, nsb + 1), bool).at[
             jnp.arange(nt, dtype=jnp.int32)[:, None],
             jnp.where(cand_ok, cand, nsb)].set(True)[:, :nsb]
-        sb_mask2 = (_per_ray_tile_overlap(ot, inv, tct2,
-                                          ps.sb_lo, ps.sb_hi)
-                    & sb_mask & ~executed)
-        pt2, psb2, np2 = _compact_pairs(sb_mask2, nsb)
-        pm2 = _block_masks(ot, inv, tct2, pt2, psb2, np2,
-                          ps.block_lo, ps.block_hi)
+        n_live2 = _live_tile_bound(tct2)
+        if use_pallas_cull:
+            if recull == "kernel":
+                rays2 = rays.at[:nt * TILE, RC_TCAP].set(
+                    tct2.reshape(-1))
+                from prismarine_core_tpu.ops.pallas_cull import (
+                    derive_pair_tables, pallas_block_cull)
+                tn2 = pallas_block_cull(rays2, box_rows, n_live2,
+                                        chunk=cull_chunk)
+                sb_mask2, _, mask8_2 = derive_pair_tables(tn2, nsb, SB)
+            elif recull == "sb":
+                # per-ray XLA recull at SUPERBLOCK granularity + the
+                # round-1 block masks (stale bits are conservative):
+                # per-ray caps prune what a per-tile cap cannot — one
+                # sky lane's INF cap otherwise re-admits the whole tile
+                sb_mask2 = _per_ray_tile_overlap(ot, inv, tct2,
+                                                 ps.sb_lo, ps.sb_hi)
+                mask8_2 = mask8
+            else:   # "tn": per-tile caps on saved block distances
+                sb_mask2, mask8_2 = _tables_with_cap(
+                    tn_blk, jnp.max(tct2, axis=1), nsb)
+            sb_mask2 = sb_mask2 & sb_mask & ~executed
+        else:
+            mask8_2 = None
+            sb_mask2 = (_per_ray_tile_overlap(ot, inv, tct2,
+                                              ps.sb_lo, ps.sb_hi)
+                        & sb_mask & ~executed)
+        pt2, psb2, pm2, np2 = compact_dense(sb_mask2, tct2, mask8_2,
+                                            n_live2)
         out = _run_kernel(pt2, psb2, pm2, np2, rays, ps.planes,
                           nt, nsb, window, prior=out)
     else:
         k = k_first
-        sb_mask, sb_tn = _per_ray_tile_overlap(
-            ot, inv, tct, ps.sb_lo, ps.sb_hi, return_tn=True)
-
         # per-tile front-to-back candidate order (one row-wise sort)
         tn_cand = jnp.where(sb_mask, sb_tn, INF_DIST)     # [nt, nsb]
         ids = jnp.broadcast_to(jnp.arange(nsb, dtype=jnp.int32),
@@ -640,9 +873,8 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
             ctn = jax.lax.dynamic_slice(tn_sorted, (0, rr * k),
                                         (nt, k))
             ok = (ctn <= tile_cap[:, None]) & (ctn < INF_DIST)
-            pt, psb, npairs = _compact_topk(cand, ok, nt, nsb)
-            pm = _block_masks(ot, inv, tct_eff, pt, psb, npairs,
-                              ps.block_lo, ps.block_hi)
+            pt, psb, pm, npairs = compact_topk(cand, ok, tct_eff,
+                                               mask8)
             return _run_kernel(pt, psb, pm, npairs, rays, ps.planes,
                                nt, nsb, window, prior=out)
 
@@ -651,9 +883,7 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
         cand0 = sb_sorted[:, :k]
         ctn0 = tn_sorted[:, :k]
         ok0 = ctn0 < INF_DIST
-        pt0, psb0, np0 = _compact_topk(cand0, ok0, nt, nsb)
-        pm0 = _block_masks(ot, inv, tct, pt0, psb0, np0,
-                           ps.block_lo, ps.block_hi)
+        pt0, psb0, pm0, np0 = compact_topk(cand0, ok0, tct, mask8)
         out = _run_kernel(pt0, psb0, pm0, np0, rays, ps.planes,
                           nt, nsb, window)
 
@@ -733,7 +963,7 @@ def occluded_packet(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
 
 def intersect_closest_pallas(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
                              o, d, t_cap=None, return_order=False,
-                             order=None):
+                             order=None, **kw):
     """Closest hit via the fused Pallas kernel (fast path).
 
     ``t_cap`` (f32[R], optional): per-lane far limit; lanes with 0 are
@@ -741,23 +971,24 @@ def intersect_closest_pallas(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
     ``return_order``: also return the coherence sort (perm, inv_perm)
     for reuse by this bounce's shadow query.  ``order``: reuse a
     previous query's sort instead of re-sorting
-    (cfg.reuse_bounce_order)."""
+    (cfg.reuse_bounce_order).  ``**kw``: strategy/cull/sort knobs,
+    forwarded to _run_packet_pallas."""
     sg = jax.lax.stop_gradient
     if t_cap is None:
         t_cap = jnp.full((o.shape[0],), INF_DIST)
     _, slot, order = _run_packet_pallas(
         sg(bvh.lo[0]), sg(bvh.hi[0]), sg(ps), sg(o), sg(d), sg(t_cap),
-        order=order)
+        order=order, **kw)
     hit = _reeval_hit(bvh, soup, o, d, slot)
     return (hit, order) if return_order else hit
 
 
 def occluded_pallas(bvh: BVH, ps: PacketSet, soup: TriangleSoup,
-                    o, d, t_max, order=None):
+                    o, d, t_max, order=None, **kw):
     """Any-hit query.  ``order`` reuses a closest query's ray sort
     (shadow origins = that query's hit points, so coherence carries)."""
     sg = jax.lax.stop_gradient
     _, slot, _ = _run_packet_pallas(sg(bvh.lo[0]), sg(bvh.hi[0]),
                                     sg(ps), sg(o), sg(d), sg(t_max),
-                                    any_hit=True, order=order)
+                                    any_hit=True, order=order, **kw)
     return slot >= 0

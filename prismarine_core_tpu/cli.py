@@ -54,6 +54,32 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["brute", "bvh", "packet", "pallas"],
                    help="intersection backend (default: the fused "
                         "Pallas fast path)")
+    # --- production performance knobs (the bench configuration) ---
+    p.add_argument("--coherent", action="store_true",
+                   help="coherent bounce sampling (Sadeghi et al. 2009): "
+                        "block-correlated bounce uniforms; unbiased, "
+                        "direction-tight secondary packets — the bench's "
+                        "main-metric configuration")
+    p.add_argument("--reuse-order", action="store_true",
+                   help="reuse bounce 1's coherence sort for later "
+                        "bounces (saves one u32 sort per bounce; "
+                        "measured slower on the hall bench — see "
+                        "PERF.md r3 item 4)")
+    p.add_argument("--sort-mode", default="full",
+                   choices=["full", "packed", "group"],
+                   help="ray coherence sort variant (packet.py:"
+                        "_sort_pad_rays)")
+    p.add_argument("--cull-impl", default="pallas",
+                   choices=["pallas", "xla"],
+                   help="dense cull implementation (pallas = round-4 "
+                        "block-granular cull kernel)")
+    p.add_argument("--strategy", default="",
+                   choices=["", "single", "two_round", "rounds"],
+                   help="closest-hit execution strategy override "
+                        "(default: measured per-query-type choices)")
+    p.add_argument("--strategy-k", type=int, default=0,
+                   help="per-round superblock budget K for the "
+                        "two_round/rounds strategies (0 = default 8)")
     return p
 
 
@@ -111,7 +137,13 @@ def main(argv=None) -> int:
                        max_bounces=args.depth,
                        camera_360=args.camera_360,
                        env_nee=args.env_nee,
-                       intersector=args.intersector)
+                       intersector=args.intersector,
+                       coherent_bounce_sampling=args.coherent,
+                       reuse_bounce_order=args.reuse_order,
+                       sort_mode=args.sort_mode,
+                       cull_impl=args.cull_impl,
+                       closest_strategy=args.strategy,
+                       closest_k=args.strategy_k)
 
     renderer = ProgressiveRenderer(scene, camera, cfg, seed=args.seed)
     t0 = time.perf_counter()

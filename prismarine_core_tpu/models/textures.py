@@ -203,10 +203,26 @@ _LUM = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
 
 def _env_texel_probs(env: Environment):
     """Per-texel selection probabilities p f32[H, W] (sums to 1) for the
-    equirect map, weighted by luminance x sin(theta) (the solid-angle
-    measure of an equirect row)."""
+    equirect map, weighted by RECONSTRUCTED luminance x sin(theta) (the
+    solid-angle measure of an equirect row).
+
+    The luminance is tent-filtered with (1/8, 3/4, 1/8) per axis — the
+    exact per-cell average of the BILINEAR reconstruction the renderer
+    actually samples (``Environment.sample``).  Weighting by the raw
+    texel value instead leaves the ~40% of a spiky sun's energy that
+    bilinear filtering spreads into its (dark) neighbors with p ~ 0:
+    formally unbiased but with near-infinite variance, i.e. the
+    estimator silently under-collects the sun (found by the round-4
+    env-shadow boundary-gradient FD test)."""
     h, w, _ = env.image.shape
     lum = jnp.maximum((env.image * env.scale) @ _LUM, 0.0)
+    k0, k1 = 0.75, 0.125
+    # x: periodic (the phi seam wraps); y: edge-clamped (the poles)
+    lum = k0 * lum + k1 * (jnp.roll(lum, 1, axis=1)
+                           + jnp.roll(lum, -1, axis=1))
+    lum_up = jnp.concatenate([lum[:1], lum[:-1]], axis=0)
+    lum_dn = jnp.concatenate([lum[1:], lum[-1:]], axis=0)
+    lum = k0 * lum + k1 * (lum_up + lum_dn)
     theta = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * jnp.pi
     wgt = lum * jnp.sin(theta)[:, None] + 1e-12
     return wgt / jnp.sum(wgt)

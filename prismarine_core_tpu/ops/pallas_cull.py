@@ -1,0 +1,164 @@
+"""Pallas TPU kernel: dense block-granular ray-tile culling.
+
+Round 3 localized ~55-65% of the frame in fixed XLA stages per query
+(PERF.md): the dense superblock cull (28 ms) plus a SEPARATE windowed
+block-mask refinement (41 ms) that re-gathered ray tiles pair by pair
+and re-ran the same slab tests one level finer.  This kernel replaces
+both with ONE pass at BLOCK granularity:
+
+  * grid = (ray tile, block-lane chunk); per step, a [TILE, CHUNK] slab
+    test of the tile's 128 rays against CHUNK block AABBs — dense VPU
+    work at the exact register shape, no gathers (the block AABB rows
+    use a constant-in-``i`` index map, so Mosaic keeps them VMEM-
+    resident across the whole row of tiles instead of re-DMAing);
+  * output is the per-(tile, block) ENTRY DISTANCE (`INF_DIST` where no
+    ray of the tile passes).  Everything the packet scheduler needs
+    derives from it in one cheap XLA pass over [nt, nb]:
+    per-pair 8-bit block masks (bit-pack over SB), superblock candidate
+    masks (any bit set — strictly TIGHTER than the old superblock-AABB
+    test, which could pass on the union box when every individual block
+    misses), and superblock entry distances (min over blocks — a valid
+    and tighter front-to-back lower bound for the ordered strategies);
+  * tiles past the live prefix (every lane's ``t_cap`` == 0 — dead
+    lanes sort last, accel/packet.py:_ray_sort_keys) skip the slab
+    work under ``pl.when`` on a prefetched scalar bound, so cull cost
+    scales with LIVE work as paths die across bounces.
+
+Replaces the per-pair mask stage of ``accel/packet.py:_block_masks``
+(kept for the pure-XLA fallback path); the reference's analog of this
+scheduling work is the per-ray BVH descent of ``directTraverse.comp``
+(383-464), which a TPU cannot do a lane at a time.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from prismarine_core_tpu.ops.pallas_intersect import (
+    RAY_COLS, RC_IVX, RC_IVY, RC_IVZ, RC_OX, RC_OY, RC_OZ, RC_TCAP, TILE)
+from prismarine_core_tpu.utils.config import INF_DIST
+
+#: block AABB component rows (lanes = blocks)
+_BOX_ROWS = 8   # lo_x lo_y lo_z hi_x hi_y hi_z pad pad
+
+
+def _cull_kernel(n_live,                 # SMEM i32[1]
+                 ray_ref,                # [TILE, RAY_COLS]
+                 box_ref,                # [_BOX_ROWS, CHUNK]
+                 out_ref):               # [1, 8, CHUNK]
+    i = pl.program_id(0)
+
+    @pl.when(i < n_live[0])
+    def _live():
+        def rcol(c):
+            return ray_ref[:, c][:, None]
+
+        def brow(r):
+            return box_ref[r, :][None, :]
+
+        tc = rcol(RC_TCAP)
+        t0x = (brow(0) - rcol(RC_OX)) * rcol(RC_IVX)
+        t1x = (brow(3) - rcol(RC_OX)) * rcol(RC_IVX)
+        t0y = (brow(1) - rcol(RC_OY)) * rcol(RC_IVY)
+        t1y = (brow(4) - rcol(RC_OY)) * rcol(RC_IVY)
+        t0z = (brow(2) - rcol(RC_OZ)) * rcol(RC_IVZ)
+        t1z = (brow(5) - rcol(RC_OZ)) * rcol(RC_IVZ)
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        tn0 = jnp.maximum(tn, 0.0)
+        # same predicate as accel/packet.py:_per_ray_tile_overlap: the
+        # tc > 0 term keeps dead lanes from listing boxes their origin
+        # happens to sit inside
+        hit = (tf >= tn0) & (tn <= tc) & (tc > 0.0)
+        tnc = jnp.where(hit, tn0, INF_DIST)
+        # Mosaic needs a sublane-multiple output block: broadcast the
+        # reduced row across the 8-row block (the caller reads row 0)
+        out_ref[0, :, :] = jnp.broadcast_to(
+            jnp.min(tnc, axis=0)[None, :], out_ref.shape[1:])
+
+    @pl.when(i >= n_live[0])
+    def _dead():
+        out_ref[0, :, :] = jnp.full_like(out_ref[0, :, :], INF_DIST)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def pallas_block_cull(rays,      # f32[(nt+1)*TILE, RAY_COLS]
+                      box_rows,  # f32[_BOX_ROWS, nb_pad] (nb_pad % 128 == 0)
+                      n_live,    # i32[] count of leading candidate tiles
+                      chunk: int = 1024):
+    """Per-(tile, block) entry distance, INF_DIST where the tile has no
+    ray passing the block's slab test under its cap.
+
+    ``n_live`` bounds the slab work: tiles >= n_live write INF rows
+    without testing (their lanes are all dead — the caller computes the
+    bound as 1 + the last tile holding any live lane)."""
+    n_rows = rays.shape[0]
+    nt = n_rows // TILE - 1
+    nb_pad = box_rows.shape[1]
+    assert nb_pad % 128 == 0
+    # largest lane chunk <= requested that tiles nb_pad exactly
+    chunk = min(chunk - chunk % 128 or 128, nb_pad)
+    while nb_pad % chunk:
+        chunk -= 128
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt, nb_pad // chunk),
+        in_specs=[
+            pl.BlockSpec((TILE, RAY_COLS),
+                         lambda i, c, nl: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BOX_ROWS, chunk),
+                         lambda i, c, nl: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, chunk),
+                               lambda i, c, nl: (i, 0, c),
+                               memory_space=pltpu.VMEM),
+    )
+    call = pl.pallas_call(
+        _cull_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt, 8, nb_pad), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )
+    return call(jnp.asarray([n_live], jnp.int32), rays, box_rows)[:, 0, :]
+
+
+def box_rows_from_blocks(block_lo, block_hi):
+    """[nb,3]x2 block AABBs -> f32[_BOX_ROWS, nb_pad] lane-major rows
+    (padding blocks get far-point boxes that never pass a slab test)."""
+    nb = block_lo.shape[0]
+    nb_pad = -(-nb // 128) * 128
+    from prismarine_core_tpu.accel.lbvh import EMPTY_BOX
+    rows = jnp.full((_BOX_ROWS, nb_pad), 0.0, jnp.float32)
+    rows = rows.at[0:3, :].set(jnp.float32(EMPTY_BOX))
+    rows = rows.at[3:6, :].set(jnp.float32(-EMPTY_BOX))
+    rows = rows.at[0:3, :nb].set(block_lo.T)
+    rows = rows.at[3:6, :nb].set(block_hi.T)
+    return rows
+
+
+def derive_pair_tables(tn_blk, nsb, sb: int):
+    """[nt, nb_pad] block entry distances -> (sb_mask, sb_tn, mask8).
+
+    sb_mask bool[nt, nsb]: tile lists superblock (any block hit);
+    sb_tn   f32[nt, nsb]: min block entry (front-to-back lower bound);
+    mask8   i32[nt, nsb]: per-pair block bitmask (bit k = block sb*SB+k).
+    """
+    nt = tn_blk.shape[0]
+    blk = tn_blk[:, :nsb * sb].reshape(nt, nsb, sb)
+    hit = blk < INF_DIST
+    bits = (1 << jnp.arange(sb, dtype=jnp.int32))[None, None, :]
+    mask8 = jnp.sum(jnp.where(hit, bits, 0), axis=-1)
+    sb_tn = jnp.min(blk, axis=-1)
+    return mask8 != 0, sb_tn, mask8

@@ -271,9 +271,41 @@ def edge_boundary_image(scene: Scene, camera: Camera, cfg: RenderConfig,
     return flat.reshape(cfg.height, cfg.width, 3)
 
 
+def env_sun_params(env, frac: float = 0.25):
+    """(sun direction f32[3], integrated radiance f32[3]) of the env
+    map's bright region: texels with luminance >= frac * max form the
+    "sun disc"; direction is their luminance-weighted mean, power the
+    solid-angle integral of their radiance.  The directional analog of
+    treating a sphere light as its center (exact as the disc shrinks).
+    """
+    h, w, _ = env.image.shape
+    rgb = env.image * env.scale
+    lum = jnp.maximum(jnp.einsum("hwc,c->hw", rgb,
+                                 jnp.asarray([0.2126, 0.7152, 0.0722])),
+                      0.0)
+    sun = lum >= frac * jnp.max(lum)
+    theta = ((jnp.arange(h, dtype=jnp.float32) + 0.5) / h * jnp.pi)
+    phi = ((jnp.arange(w, dtype=jnp.float32) + 0.5) / w - 0.5) \
+        * (2.0 * jnp.pi)
+    sin_t = jnp.sin(theta)
+    # equirect texel solid angle (matches textures.sample_env_direction)
+    domega = (2.0 * jnp.pi ** 2 / (h * w)) * sin_t[:, None]      # [h,1]
+    dirs = jnp.stack(
+        [sin_t[:, None] * jnp.cos(phi)[None, :],
+         jnp.cos(theta)[:, None] * jnp.ones((1, w)),
+         sin_t[:, None] * jnp.sin(phi)[None, :]], axis=-1)       # [h,w,3]
+    wgt = jnp.where(sun, lum * domega, 0.0)
+    s = pm.normalize(jnp.einsum("hwc,hw->c", dirs, wgt)[None, :])[0]
+    power = jnp.einsum("hwc,hw->c", rgb, jnp.where(sun, domega, 0.0))
+    return s, power
+
+
 def shadow_boundary_image(scene: Scene, camera: Camera,
                           cfg: RenderConfig, edge_u: jax.Array,
-                          delta_px: float = 0.75) -> jax.Array:
+                          delta_px: float = 0.75,
+                          light_index: int = 0,
+                          light_u: jax.Array | None = None
+                          ) -> jax.Array:
     """Value-zero f32[H,W,3] image carrying the SHADOW-silhouette
     boundary gradient: the derivative of NEE visibility w.r.t. a
     blocker's vertices (VERDICT r2 item 6 — the cast-shadow term the
@@ -295,22 +327,38 @@ def shadow_boundary_image(scene: Scene, camera: Camera,
     P(diffuse) * albedo * weight * lightcolor, evaluated with the
     integrator's exact branch model (integrator.py:245-300).
 
-    Documented approximations: light 0 only, the sphere light is
-    treated as its center (exact as radius -> 0; penumbra-width error
-    otherwise), primary receivers only (shadows seen through mirrors
-    still use the detached estimator).
+    ``light_index`` selects the sphere light (callers sum the term over
+    all lights — render_with_edge_gradients does).  ``light_u``
+    (f32[B,2], optional): per-sample uniforms selecting a point ON the
+    light sphere to project from; None projects from the center.
+    Sampling the sphere matches the NEE estimator's own light-point
+    sampling, so FAT lights (radius comparable to the blocker) get
+    penumbra-averaged boundary gradients instead of a hard
+    center-shadow (tests/test_edge_gradients.py fat-radius test).
+
+    Documented approximations: primary receivers only (shadows seen
+    through mirrors still use the detached estimator); the NEE jump
+    magnitude is evaluated toward the light center.
     """
     from prismarine_core_tpu.ops.intersect import intersect_sphere
-    from prismarine_core_tpu.ops.sampling import light_sampling_weight
+    from prismarine_core_tpu.ops.sampling import (light_sampling_weight,
+                                                  uniform_sphere)
     from prismarine_core_tpu.render.integrator import (
         _interpolate_surface, closest_hit, occluded)
     from prismarine_core_tpu.utils.config import GAP, INF_DIST
 
     soup = scene.triangles
     B = edge_u.shape[0]
-    c = scene.lights.center[0]
-    radius = scene.lights.radius[0]
-    lcolor = scene.lights.color[0] * float(scene.lights.count)
+    c = scene.lights.center[light_index]
+    radius = scene.lights.radius[light_index]
+    # expected NEE contribution of THIS light: the integrator picks one
+    # of L lights with prob 1/L and weights by L, so per-light
+    # expectation is just its color (no count factor)
+    lcolor = scene.lights.color[light_index]
+    if light_u is None:
+        lp = jnp.broadcast_to(c, (B, 3))
+    else:
+        lp = c + radius * uniform_sphere(light_u[:, 0], light_u[:, 1])
 
     # --- blocker edge selection: 3D length CDF, split across copies ---
     ea = jnp.concatenate([soup.v0, soup.v1, soup.v2], axis=0)   # [3T,3]
@@ -330,7 +378,7 @@ def shadow_boundary_image(scene: Scene, camera: Camera,
                        / jnp.maximum(w_len[idx], 1e-12), 0.0, 1.0))
 
     z = ea[idx] + frac[:, None] * (eb[idx] - ea[idx])            # [B,3]
-    dz = z - c                                                   # diff.
+    dz = z - lp                                                  # diff.
     dz_n = pm.normalize(sg(dz))
 
     # --- detached receiver behind the blocker -------------------------
@@ -344,8 +392,8 @@ def shadow_boundary_image(scene: Scene, camera: Camera,
                                     soup.v2[trix] - soup.v0[trix])))
     denom = jnp.einsum("bk,bk->b", dz, n_r)
     denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
-    s_par = jnp.einsum("bk,bk->b", p0 - c[None, :], n_r) / denom
-    r_pt = c[None, :] + s_par[:, None] * dz                      # diff.
+    s_par = jnp.einsum("bk,bk->b", p0 - lp, n_r) / denom
+    r_pt = lp + s_par[:, None] * dz                              # diff.
     behind = sg(s_par) > 1.0 + 1e-4   # receiver beyond the blocker
 
     # --- screen projection + curve tangent ----------------------------
@@ -357,10 +405,12 @@ def shadow_boundary_image(scene: Scene, camera: Camera,
     dt_ = 1e-3
     shift = sg(jnp.where(frac + dt_ <= 1.0, dt_, -dt_))
     z2 = sg(ea[idx] + (frac + shift)[:, None] * (eb[idx] - ea[idx]))
-    s2 = jnp.einsum("bk,bk->b", p0 - c[None, :], n_r) \
-        / jnp.where(jnp.abs(jnp.einsum("bk,bk->b", z2 - c, n_r)) < 1e-9,
-                    1e-9, jnp.einsum("bk,bk->b", z2 - c, n_r))
-    r2 = c[None, :] + s2[:, None] * (z2 - c)
+    lp_sg = sg(lp)
+    s2 = jnp.einsum("bk,bk->b", p0 - lp_sg, n_r) \
+        / jnp.where(jnp.abs(jnp.einsum("bk,bk->b", z2 - lp_sg,
+                                       n_r)) < 1e-9,
+                    1e-9, jnp.einsum("bk,bk->b", z2 - lp_sg, n_r))
+    r2 = lp_sg + s2[:, None] * (z2 - lp_sg)
     m_s2, _ = project_to_screen(camera, cfg, sg(r2))
     dm = sg(m_s2 - m_s)
     dm_dt = jnp.linalg.norm(dm, axis=-1) / dt_
@@ -369,13 +419,23 @@ def shadow_boundary_image(scene: Scene, camera: Camera,
     n_perp = jnp.stack([-e_hat[:, 1], e_hat[:, 0]], axis=-1)
 
     # --- camera visibility of the receiver point ----------------------
+    # the receiver match accepts any COPLANAR hit near the projected
+    # distance (not an exact tri-id match): shadow curves crossing a
+    # mesh's interior edges land on the adjacent coplanar triangle for
+    # ~half their samples, and an id-equality test silently dropped
+    # those terms (VERDICT r3 weak 5 — measured as a ~2x gradient loss
+    # on a quad ground plane)
     m_sg = sg(m_s)
     o_cam, d_cam = rays_through_screen(sg(camera), cfg, m_sg)
     hit_cam = closest_hit(scene, o_cam, d_cam, cfg)
     same_pt = (jnp.abs(hit_cam.t - jnp.linalg.norm(sg(r_pt) - o_cam,
                                                    axis=-1))
                < 0.05 * jnp.maximum(hit_cam.t, 1.0))
-    cam_vis = (hit_cam.tri == tri_r) & same_pt & (sg(z_cam) > _NEAR)
+    cam_pt = o_cam + sg(hit_cam.t)[:, None] * d_cam
+    on_plane = (jnp.abs(jnp.einsum("bk,bk->b", cam_pt - p0, n_r))
+                < 0.02 * jnp.maximum(sg(hit_cam.t), 1.0))
+    cam_vis = ((hit_cam.tri >= 0) & same_pt & on_plane
+               & (sg(z_cam) > _NEAR))
 
     # --- visibility probes on both sides of the shadow curve ----------
     def plane_point(spix):
@@ -386,7 +446,9 @@ def shadow_boundary_image(scene: Scene, camera: Camera,
         return o_p + tt[:, None] * d_p
 
     def vis_at(pt):
-        ldir = pm.normalize(c[None, :] - pt)
+        # probe toward the SAMPLED light point: the curve being probed
+        # is that point's shadow curve
+        ldir = pm.normalize(lp_sg - pt)
         t_l = intersect_sphere(pt + ldir * GAP, ldir, c[None, :],
                                radius + GAP)
         t_q = jnp.where(has_recv, t_l, 0.0)
@@ -440,23 +502,193 @@ def shadow_boundary_image(scene: Scene, camera: Camera,
     return flat.reshape(cfg.height, cfg.width, 3)
 
 
+def env_shadow_boundary_image(scene: Scene, camera: Camera,
+                              cfg: RenderConfig, edge_u: jax.Array,
+                              delta_px: float = 0.75,
+                              sun_frac: float = 0.25) -> jax.Array:
+    """Value-zero f32[H,W,3] image carrying the ENV-SUN cast-shadow
+    boundary gradient (the directional counterpart of
+    ``shadow_boundary_image``, VERDICT r3 item 4).
+
+    Under cfg.env_nee the integrator importance-samples the environment
+    map's bright texels; a blocker edge sweeping its sun shadow across
+    a receiver moves radiance that the detached estimator cannot see.
+    Directional projection is SIMPLER than the sphere case: blocker
+    edge points z project along the fixed sun direction ``s``
+    (env_sun_params) onto the frozen receiver plane,
+    r(theta) = z(theta) - u * s — differentiable through z only.  The
+    jump magnitude is the combined env estimator's expectation across
+    the curve: albedo * P(diffuse) * cos(n, s)/pi * integrated sun
+    radiance (the MIS weights of the two strategies sum to 1, so the
+    TOTAL jump is MIS-free).
+
+    Approximations (documented): the sun disc acts as its direction
+    (exact as the disc shrinks — same family as the sphere-center
+    limit), primary receivers only, the non-sun environment residual
+    keeps the detached estimator.
+    """
+    from prismarine_core_tpu.render.integrator import (
+        _interpolate_surface, closest_hit, occluded)
+    from prismarine_core_tpu.utils.config import GAP, INF_DIST
+
+    soup = scene.triangles
+    B = edge_u.shape[0]
+    s_sun, power = env_sun_params(scene.environment, frac=sun_frac)
+    s_sun = sg(s_sun)
+    power = sg(power)
+
+    # --- blocker edge selection (same CDF as the sphere variant) ------
+    ea = jnp.concatenate([soup.v0, soup.v1, soup.v2], axis=0)   # [3T,3]
+    eb = jnp.concatenate([soup.v1, soup.v2, soup.v0], axis=0)
+    evalid = jnp.concatenate([soup.valid] * 3, axis=0)
+    mult = sg(_edge_multiplicity(sg(ea), sg(eb), evalid))
+    len3 = jnp.linalg.norm(eb - ea, axis=-1)
+    w_len = sg(jnp.where(evalid, len3 / jnp.maximum(mult, 1), 0.0))
+
+    cdf = jnp.cumsum(w_len)
+    total = cdf[-1]
+    targets = edge_u * total
+    idx = jnp.clip(jnp.searchsorted(cdf, targets, side="right"),
+                   0, w_len.shape[0] - 1)
+    prev = jnp.where(idx > 0, cdf[jnp.maximum(idx - 1, 0)], 0.0)
+    frac = sg(jnp.clip((targets - prev)
+                       / jnp.maximum(w_len[idx], 1e-12), 0.0, 1.0))
+
+    z = ea[idx] + frac[:, None] * (eb[idx] - ea[idx])            # [B,3]
+    away = -s_sun[None, :]                                       # [B?,3]
+
+    # --- detached receiver along -s ----------------------------------
+    hit_r = closest_hit(scene, sg(z) + GAP * away,
+                        jnp.broadcast_to(away, (B, 3)), cfg)
+    tri_r = hit_r.tri
+    has_recv = tri_r >= 0
+    trix = jnp.maximum(tri_r, 0)
+    p0 = sg(soup.v0[trix])
+    n_r = sg(pm.normalize(jnp.cross(soup.v1[trix] - soup.v0[trix],
+                                    soup.v2[trix] - soup.v0[trix])))
+    sn = jnp.einsum("bk,k->b", n_r, s_sun)
+    sn = jnp.where(jnp.abs(sn) < 1e-9, 1e-9, sn)
+    u_par = jnp.einsum("bk,bk->b", z - p0, n_r) / sn
+    r_pt = z - u_par[:, None] * s_sun[None, :]                   # diff.
+    in_front_of_sun = sg(u_par) > 1e-4   # receiver behind the blocker
+
+    # --- screen projection + curve tangent ----------------------------
+    m_s, z_cam = project_to_screen(camera, cfg, r_pt)            # [B,2]
+    dt_ = 1e-3
+    shift = sg(jnp.where(frac + dt_ <= 1.0, dt_, -dt_))
+    z2 = sg(ea[idx] + (frac + shift)[:, None] * (eb[idx] - ea[idx]))
+    u2_ = jnp.einsum("bk,bk->b", z2 - p0, n_r) / sn
+    r2 = z2 - u2_[:, None] * s_sun[None, :]
+    m_s2, _ = project_to_screen(camera, cfg, sg(r2))
+    dm = sg(m_s2 - m_s)
+    dm_dt = jnp.linalg.norm(dm, axis=-1) / dt_
+    e_hat = dm / jnp.maximum(jnp.linalg.norm(dm, axis=-1,
+                                             keepdims=True), 1e-12)
+    n_perp = jnp.stack([-e_hat[:, 1], e_hat[:, 0]], axis=-1)
+
+    # --- camera visibility of the receiver point ----------------------
+    m_sg = sg(m_s)
+    o_cam, d_cam = rays_through_screen(sg(camera), cfg, m_sg)
+    hit_cam = closest_hit(scene, o_cam, d_cam, cfg)
+    same_pt = (jnp.abs(hit_cam.t - jnp.linalg.norm(sg(r_pt) - o_cam,
+                                                   axis=-1))
+               < 0.05 * jnp.maximum(hit_cam.t, 1.0))
+    # coplanar-receiver match, not tri-id equality (see the sphere
+    # variant's comment — same VERDICT r3 weak-5 fix)
+    cam_pt = o_cam + sg(hit_cam.t)[:, None] * d_cam
+    on_plane = (jnp.abs(jnp.einsum("bk,bk->b", cam_pt - p0, n_r))
+                < 0.02 * jnp.maximum(sg(hit_cam.t), 1.0))
+    cam_vis = ((hit_cam.tri >= 0) & same_pt & on_plane
+               & (sg(z_cam) > _NEAR))
+
+    # --- visibility probes on both sides of the shadow curve ----------
+    def plane_point(spix):
+        o_p, d_p = rays_through_screen(sg(camera), cfg, spix)
+        dn = jnp.einsum("bk,bk->b", d_p, n_r)
+        dn = jnp.where(jnp.abs(dn) < 1e-9, 1e-9, dn)
+        tt = jnp.einsum("bk,bk->b", p0 - o_p, n_r) / dn
+        return o_p + tt[:, None] * d_p
+
+    sdir = jnp.broadcast_to(s_sun, (B, 3))
+
+    def vis_at(pt):
+        t_q = jnp.where(has_recv, INF_DIST, 0.0)
+        return ~occluded(scene, pt + sdir * GAP, sdir, t_q, cfg)
+
+    v_plus = vis_at(plane_point(m_sg + delta_px * n_perp))
+    v_minus = vis_at(plane_point(m_sg - delta_px * n_perp))
+    jump = (v_minus.astype(jnp.float32)
+            - v_plus.astype(jnp.float32))                        # [B]
+
+    # --- expected env-NEE magnitude at the receiver -------------------
+    surf = _interpolate_surface(scene, hit_cam, d_cam, cfg)
+    ns = surf["shading_normal"]
+    n_ff = pm.faceforward(ns, d_cam)
+    cos_l = jnp.einsum("bk,k->b", n_ff, s_sun)
+    front = cos_l > 0.0
+    cosmag = jnp.clip(
+        jnp.maximum(jnp.abs(pm.dot(d_cam, n_ff)), 1e-6)
+        ** (cfg.ior - 1.0), 0.0, 1.0)
+    dielectric = pm.mix(jnp.ones((B, 3)), jnp.full((B, 3), 0.05),
+                        cosmag[:, None])
+    sc = pm.mix(dielectric, surf["albedo"],
+                jnp.sqrt(jnp.clip(surf["metallic"], 0.0, 1.0))[:, None])
+    spca = jnp.clip(pm.length(sc), 0.0, 1.0)
+    p_diff = surf["alpha"] * (1.0 - spca)
+    f_sun = (surf["albedo"] * power[None, :]
+             * (p_diff * jnp.maximum(cos_l, 0.0) / jnp.pi
+                * front)[:, None])                               # [B,3]
+    f_sun = jnp.where(jnp.isfinite(f_sun), f_sun, 0.0)
+
+    # --- assemble + splat ---------------------------------------------
+    pix = jnp.floor(m_sg).astype(jnp.int32)
+    in_img = ((pix[:, 0] >= 0) & (pix[:, 0] < cfg.width)
+              & (pix[:, 1] >= 0) & (pix[:, 1] < cfg.height))
+    use = (has_recv & in_front_of_sun & cam_vis & in_img
+           & (total > 0.0) & (w_len[idx] > 0.0))
+    weight = sg(jump[:, None] * f_sun
+                * (total * dm_dt / jnp.maximum(w_len[idx], 1e-12)
+                   / B)[:, None]
+                * use[:, None].astype(jnp.float32))              # [B,3]
+
+    phi = jnp.einsum("bk,bk->b", n_perp, m_s)
+    contrib = weight * (phi - sg(phi))[:, None]
+
+    flat = jnp.zeros((cfg.height * cfg.width, 3), jnp.float32)
+    lin = jnp.clip(pix[:, 1], 0, cfg.height - 1) * cfg.width \
+        + jnp.clip(pix[:, 0], 0, cfg.width - 1)
+    flat = flat.at[lin].add(contrib, mode="drop")
+    return flat.reshape(cfg.height, cfg.width, 3)
+
+
 @partial(jax.jit, static_argnames=("cfg", "shadow_term"))
 def render_with_edge_gradients(scene: Scene, camera: Camera,
                                cfg: RenderConfig, cam_samples,
                                bounce_samples, edge_u,
                                edge_bounce_samples,
-                               shadow_term: bool = False):
+                               shadow_term: bool = False,
+                               light_u=None):
     """Primal render + boundary-gradient attachment(s).
 
     Forward value == ``render_with_samples(...)`` exactly; reverse mode
     additionally differentiates silhouette motion w.r.t. vertex
     positions and camera parameters.  ``shadow_term=True`` adds the
-    cast-shadow (NEE visibility) boundary term as well."""
+    cast-shadow (NEE visibility) boundary terms: one per sphere light
+    (``light_u`` f32[B,2] optionally samples the light spheres —
+    penumbra-correct for fat lights) and, under cfg.env_nee, the
+    env-sun directional term."""
     from prismarine_core_tpu.render.integrator import render_with_samples
     img = render_with_samples(scene, camera, cfg, cam_samples,
                               bounce_samples)
     img = img + edge_boundary_image(scene, camera, cfg, edge_u,
                                     edge_bounce_samples)
-    if shadow_term and scene.lights.count > 0:
-        img = img + shadow_boundary_image(scene, camera, cfg, edge_u)
+    if shadow_term:
+        if cfg.direct_light:
+            for li in range(scene.lights.count):
+                img = img + shadow_boundary_image(
+                    scene, camera, cfg, edge_u, light_index=li,
+                    light_u=light_u)
+        if cfg.env_nee:
+            img = img + env_shadow_boundary_image(scene, camera, cfg,
+                                                  edge_u)
     return img

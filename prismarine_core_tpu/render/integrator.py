@@ -42,6 +42,19 @@ from prismarine_core_tpu.utils import math as pm
 from prismarine_core_tpu.utils.config import GAP, INF_DIST, RenderConfig
 
 
+def _pallas_kwargs(cfg: RenderConfig, any_hit: bool) -> dict:
+    """Map RenderConfig's pallas knobs to _run_packet_pallas kwargs."""
+    kw = dict(cull_impl=cfg.cull_impl, sort_mode=cfg.sort_mode,
+              recull=cfg.recull)
+    strat = cfg.anyhit_strategy if any_hit else cfg.closest_strategy
+    k = cfg.anyhit_k if any_hit else cfg.closest_k
+    if strat:
+        kw["strategy"] = strat
+    if k:
+        kw["k_round"] = k
+    return kw
+
+
 def closest_hit(scene: Scene, o, d, cfg: RenderConfig,
                 t_cap=None, with_order: bool = False, order=None):
     """Dispatch to the configured intersector.  ``t_cap`` lets callers
@@ -73,7 +86,8 @@ def closest_hit(scene: Scene, o, d, cfg: RenderConfig,
         if cfg.intersector == "pallas":
             hit, order = pk.intersect_closest_pallas(
                 scene.bvh, scene.packets, scene.triangles, o, d,
-                t_cap=t_cap, return_order=True, order=order)
+                t_cap=t_cap, return_order=True, order=order,
+                **_pallas_kwargs(cfg, any_hit=False))
             return ret(hit, order)
         return ret(pk.intersect_closest_packet(
             scene.bvh, scene.packets, scene.triangles, o, d))
@@ -108,7 +122,9 @@ def occluded(scene: Scene, o, d, t_max, cfg: RenderConfig, order=None):
         if cfg.intersector == "pallas":
             return pk.occluded_pallas(scene.bvh, scene.packets,
                                       scene.triangles, o, d, t_max,
-                                      order=order)
+                                      order=order,
+                                      **_pallas_kwargs(cfg,
+                                                       any_hit=True))
         return pk.occluded_packet(scene.bvh, scene.packets,
                                   scene.triangles, o, d, t_max)
     elif cfg.intersector == "pallas_sharded":
@@ -443,7 +459,7 @@ def trace(scene: Scene, cfg: RenderConfig, o, d, bounce_samples,
         _, _, _, order0, _ = pk._sort_pad_rays(
             scene.bvh.lo[0], scene.bvh.hi[0],
             jax.lax.stop_gradient(o0), jax.lax.stop_gradient(d0),
-            jnp.ones((r,)))
+            jnp.ones((r,)), mode=cfg.sort_mode)
         step_rest = make_bounce_step(scene, cfg, fixed_order=order0)
         (o, d, beta, radiance, alive, _), stats_rest = jax.lax.scan(
             step_rest, carry, bounce_samples[1:])

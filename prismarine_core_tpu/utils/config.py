@@ -95,6 +95,31 @@ class RenderConfig:
     #: optional ray sorting, Pipeline.hpp:101) — coherent chunks
     #: retire together.
     sort_rays: bool = False
+    #: dense-cull implementation for the pallas intersector:
+    #: "pallas" = block-granular cull kernel (ops/pallas_cull.py): one
+    #: pass yields superblock candidates, front-to-back entry distances
+    #: AND the per-pair 8-bit block masks (deletes the round-3
+    #: _block_masks stage, 41 ms/query); "xla" = the round-3 two-stage
+    #: fallback (superblock scan + windowed mask refinement).
+    cull_impl: str = "pallas"
+    #: ray coherence sort variant (accel/packet.py:_sort_pad_rays):
+    #: "full" (2-array u32 sort, round-3 default), "packed" (1-array
+    #: sort, index packed into the key's low bits), "group" (sort
+    #: 16-ray groups by live-centroid key — 16x fewer sort elements).
+    sort_mode: str = "full"
+    #: two_round round-2 pruning on the pallas-cull path: "tn" derives
+    #: round-2 pairs from the saved block entry distances under
+    #: per-tile caps (no second cull pass); "kernel" re-runs the cull
+    #: kernel with per-ray tightened caps (tighter pairs, one more
+    #: kernel pass).  Results identical either way.
+    recull: str = "kernel"
+    #: execution-strategy overrides for the pallas intersector
+    #: ("" / 0 = the measured defaults: closest -> two_round K=8,
+    #: any-hit -> rounds K=8; see _run_packet_pallas)
+    closest_strategy: str = ""
+    closest_k: int = 0
+    anyhit_strategy: str = ""
+    anyhit_k: int = 0
 
     @property
     def n_pixels(self) -> int:

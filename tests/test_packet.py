@@ -139,3 +139,62 @@ def test_reuse_bounce_order_matches():
     img = np.asarray(render_with_samples(scene, cam, cfg2, cam_s,
                                          bounce_s))
     np.testing.assert_allclose(img, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(cull_impl="xla"),
+    dict(cull_impl="pallas", recull="tn"),
+    dict(cull_impl="pallas", recull="kernel"),
+    dict(cull_impl="pallas", sort_mode="packed"),
+    dict(cull_impl="pallas", sort_mode="group"),
+    dict(cull_impl="pallas", strategy="single"),
+    dict(cull_impl="pallas", strategy="rounds", k_round=4),
+    dict(cull_impl="xla", strategy="rounds", k_round=4),
+])
+def test_pallas_variants_match_brute(kw):
+    """Every cull/sort/strategy variant must produce identical hits:
+    they all re-schedule the same exact tests (round-4 block-granular
+    cull kernel vs the round-3 XLA stages; packed/group sorts are just
+    different valid permutations)."""
+    from prismarine_core_tpu.accel.packet import (
+        intersect_closest_pallas, occluded_pallas)
+    n_tris, r = 700, 2048   # r: group-sort needs >= 2048 rays
+    soup = _random_soup(n_tris, capacity=n_tris + 9, seed=21)
+    bvh = build_bvh(soup, leaf_size=4)
+    ps = build_packet_set(bvh)
+    o, d = _rand_rays(r, seed=22)
+
+    hb = intersect_closest_brute(soup, o, d, block=64)
+    hp = intersect_closest_pallas(bvh, ps, soup, o, d, **kw)
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
+    m = np.asarray(hb.tri) >= 0
+    np.testing.assert_allclose(np.asarray(hp.t)[m], np.asarray(hb.t)[m],
+                               rtol=1e-5)
+
+    rng = np.random.default_rng(23)
+    t_max = jnp.asarray(rng.uniform(0.5, 20, (r,)).astype(np.float32))
+    ob = occluded_brute(soup, o, d, t_max, block=64)
+    op = occluded_pallas(bvh, ps, soup, o, d, t_max, **kw)
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(ob))
+
+
+def test_pallas_dead_lanes_culled():
+    """Lanes with t_cap == 0 must produce no hits under every cull
+    path (the live-tile-prefix bound must not clip live work)."""
+    from prismarine_core_tpu.accel.packet import _run_packet_pallas
+    soup = _random_soup(500, capacity=512, seed=31)
+    bvh = build_bvh(soup, leaf_size=4)
+    ps = build_packet_set(bvh)
+    o, d = _rand_rays(1024, seed=32)
+    rng = np.random.default_rng(33)
+    alive = jnp.asarray(rng.random(1024) < 0.4)
+    t_cap = jnp.where(alive, jnp.float32(1e4), 0.0)
+
+    hb = intersect_closest_brute(soup, o, d, block=64)
+    for impl in ("pallas", "xla"):
+        t, slot, _ = _run_packet_pallas(
+            bvh.lo[0], bvh.hi[0], ps, o, d, t_cap, cull_impl=impl)
+        tri = np.where(np.asarray(slot) >= 0,
+                       np.asarray(bvh.orig)[np.maximum(slot, 0)], -1)
+        exp = np.where(np.asarray(alive), np.asarray(hb.tri), -1)
+        np.testing.assert_array_equal(tri, exp)
