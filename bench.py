@@ -56,8 +56,9 @@ def _run_config(name, scene, camera, cfg, n_frames=3):
     assert bool(jax.numpy.isfinite(img).all()), "non-finite image"
     stats = np.asarray(stats)
     # honest ray count: live lanes entering each closest-hit query plus
-    # issued NEE shadow lanes
-    rays = int(stats[:, 0].sum() + stats[:, 4].sum()) * cfg.spp
+    # issued NEE shadow lanes (lanes already span all spp planes —
+    # cfg.n_rays = W*H*spp — so no spp factor)
+    rays = int(stats[:, 0].sum() + stats[:, 4].sum())
 
     # Warm the EXACT timed callable: with_stats=False is a different jit
     # cache entry than the stats call above; without this the timed
@@ -73,7 +74,7 @@ def _run_config(name, scene, camera, cfg, n_frames=3):
     dt = (time.perf_counter() - t0) / n_frames
 
     rays_per_s = rays / dt
-    live_frac = rays / (cfg.n_rays * cfg.max_bounces * 2 * cfg.spp)
+    live_frac = rays / (cfg.n_rays * cfg.max_bounces * 2)
     print(f"[bench] {name}: {dt*1e3:.1f} ms/frame, {rays:,} live rays "
           f"({live_frac:.0%} of nominal) -> {rays_per_s/1e6:.2f} Mrays/s "
           f"(mean={mean:.4f}, compile {compile_s:.1f}s)", file=sys.stderr)

@@ -17,29 +17,37 @@ import jax
 import numpy as np
 
 VARIANTS = {
-    # round-3 production path (control)
+    # round-3 production path (control; also gains the fused row-gather
+    # ray-matrix build, so compare against BENCH_r03's absolute 2006ms)
     "r3-xla-full": dict(cull_impl="xla", sort_mode="full"),
-    # round-4 cull kernel, two recull modes
-    "cull-tn": dict(cull_impl="pallas", sort_mode="full", recull="tn"),
-    "cull-kernel": dict(cull_impl="pallas", sort_mode="full",
-                        recull="kernel"),
-    # sort variants on top of the cull kernel
-    "cull+packed": dict(cull_impl="pallas", sort_mode="packed",
-                        recull="tn"),
-    "cull+group": dict(cull_impl="pallas", sort_mode="group",
-                       recull="tn"),
-    # strategy sweep on the winning cull (closest rounds K=16 was the
-    # round-3 incoherent winner; bounce queries are semi-coherent under
-    # coherent sampling)
-    "cull+group+rounds16": dict(cull_impl="pallas", sort_mode="group",
-                                recull="tn", closest_strategy="rounds",
-                                closest_k=16),
+    # round-4 defaults: pallas cull, per-ray sb recull, per-round masks
+    "r4-default": dict(),
+    "r4-stale-anyhit": dict(stale_round_masks=True),
+    "r4-recull-kernel": dict(recull="kernel"),
+    "r4-group-sort": dict(sort_mode="group"),
+    "r4-spp4": dict(spp=4),
+    "r4-spp4-stale": dict(spp=4, stale_round_masks=True),
+    # pairs-per-step fixed-cost amortization (stale anyhit masks won
+    # the earlier frame A/B narrowly; keep them on for these)
+    "r4-pps2": dict(stale_round_masks=True, pairs_per_step=2),
+    "r4-pps4": dict(stale_round_masks=True, pairs_per_step=4),
+    "r4-pps8": dict(stale_round_masks=True, pairs_per_step=8),
+    # strategy probe: skip top_k/two_round entirely for closest
+    "r4-closest-single": dict(stale_round_masks=True,
+                              closest_strategy="single"),
+    "r4-pps4-single": dict(stale_round_masks=True, pairs_per_step=4,
+                           closest_strategy="single"),
 }
 
 
-def run_variant(name, scene, camera, cfg0, cam_s, bounce_s, n_frames=3):
+def run_variant(name, scene, camera, cfg0, n_frames=3):
+    import jax as _jax
+
+    from prismarine_core_tpu.ops.sampling import make_coherent_sample_arrays
     from prismarine_core_tpu.render.integrator import render_with_samples
     cfg = dataclasses.replace(cfg0, **VARIANTS[name])
+    cam_s, bounce_s = make_coherent_sample_arrays(
+        _jax.random.key(0), cfg, block=(16, 16))
     t0 = time.perf_counter()
     img, stats = render_with_samples(scene, camera, cfg, cam_s, bounce_s,
                                      with_stats=True)
@@ -86,8 +94,6 @@ def main():
     scene = jax.device_put(scene)
     camera = Camera.look_at(eye=(-10.0, 2.2, 0.0), target=(6.0, 1.6, 0.0),
                             fov_y_deg=60.0)
-    cam_s, bounce_s = make_coherent_sample_arrays(
-        jax.random.key(0), cfg, block=(16, 16))
     print(f"[r4_ab] scene tris={int(scene.triangles.num_valid())}",
           flush=True)
 
@@ -95,7 +101,7 @@ def main():
         if name not in VARIANTS:
             print(f"[r4_ab] unknown variant {name}", flush=True)
             continue
-        run_variant(name, scene, camera, cfg, cam_s, bounce_s)
+        run_variant(name, scene, camera, cfg)
 
 
 if __name__ == "__main__":

@@ -336,7 +336,8 @@ def _live_tile_bound(tct):
     return jnp.max(jnp.where(live_t, idx + 1, 0))
 
 
-def _compact_codes(flat, codes, bound, sentinel, window: int = 1 << 18):
+def _compact_codes(flat, codes, bound, sentinel, window: int = 1 << 18,
+                   pos_of=None, out_len=None):
     """Windowed cumsum+scatter compaction of ``codes[flat]`` bounded by
     the live prefix.
 
@@ -344,8 +345,12 @@ def _compact_codes(flat, codes, bound, sentinel, window: int = 1 << 18):
     be False (dead-tile suffix).  The while_loop trip count is
     ceil(bound / window), so late-bounce queries (mostly-dead tiles)
     pay a fraction of the full 1.8M-element scatter that round 3
-    measured at ~44 ms/query.  Returns (packed i32[lw], n_set)."""
+    measured at ~44 ms/query.  ``pos_of`` (i32[lw], optional) overrides
+    the packed output position of each selected entry (tile-aligned
+    layouts); default is the running count.  Returns
+    (packed i32[out_len or lw], n_set)."""
     lw = flat.shape[0]
+    out_len = lw if out_len is None else out_len
     window = min(window, lw)
     wpad = (-lw) % window
     fi = flat.astype(jnp.int32)
@@ -353,7 +358,10 @@ def _compact_codes(flat, codes, bound, sentinel, window: int = 1 << 18):
         fi = jnp.concatenate([fi, jnp.zeros((wpad,), jnp.int32)])
         codes = jnp.concatenate(
             [codes, jnp.full((wpad,), sentinel, jnp.int32)])
-    out0 = jnp.full((lw + 1,), sentinel, jnp.int32)
+        if pos_of is not None:
+            pos_of = jnp.concatenate(
+                [pos_of, jnp.zeros((wpad,), jnp.int32)])
+    out0 = jnp.full((out_len + 1,), sentinel, jnp.int32)
 
     def cond(state):
         start, _, _ = state
@@ -363,72 +371,109 @@ def _compact_codes(flat, codes, bound, sentinel, window: int = 1 << 18):
         start, total, out = state
         f = jax.lax.dynamic_slice(fi, (start,), (window,))
         c = jax.lax.dynamic_slice(codes, (start,), (window,))
-        pos = total + jnp.cumsum(f) - f
-        # unselected entries all land on slot lw (sliced off below); the
-        # racy duplicate writes there are benign — same precedent as
-        # _compact_flat
-        target = jnp.where(f > 0, pos, lw)
+        if pos_of is None:
+            pos = total + jnp.cumsum(f) - f
+        else:
+            pos = jax.lax.dynamic_slice(pos_of, (start,), (window,))
+        # unselected entries all land on the last slot (sliced off
+        # below); the racy duplicate writes there are benign — same
+        # precedent as _compact_flat
+        target = jnp.where(f > 0, pos, out_len)
         out = out.at[target].set(c, mode="drop", unique_indices=True)
         return start + window, total + jnp.sum(f), out
 
     _, n_set, out = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.int32(0), out0))
-    return out[:lw], n_set
+    return out[:out_len], n_set
 
 
-def _compact_pairs_masked(sb_mask, mask8, bound_rows):
-    """[nt, nsb] candidate mask + per-pair 8-bit block masks -> packed
-    tile-major pair list via ONE windowed scatter (two when the id+mask
-    packing exceeds 31 bits).  Replaces _compact_pairs + _block_masks
-    on the pallas-cull path: masks ride along as code bits, so no
-    separate mask stage and no gathers."""
-    nt, nsb = sb_mask.shape
-    lw = nt * nsb
-    tb = max(nt, 1).bit_length()
-    sbb = max(nsb, 1).bit_length()
-    iota = jnp.arange(lw, dtype=jnp.int32)
-    tile_of = iota // nsb
-    sb_of = iota - tile_of * nsb
-    flat = sb_mask.reshape(-1)
-    bound = jnp.minimum(bound_rows * nsb, lw)
-    if tb + sbb + 8 <= 31:
-        codes = ((tile_of << (sbb + 8)) | (sb_of << 8)
-                 | (mask8.reshape(-1) & 0xFF))
-        sentinel = (nt << (sbb + 8)) | (nsb << 8)
-        packed, n_pairs = _compact_codes(flat, codes, bound, sentinel)
-        return (packed >> (sbb + 8), (packed >> 8) & ((1 << sbb) - 1),
-                packed & 0xFF, n_pairs)
-    assert tb + sbb <= 31, "scene/ray count exceeds pair-packing range"
-    codes = (tile_of << sbb) | sb_of
-    sentinel = (nt << sbb) | nsb
-    packed, n_pairs = _compact_codes(flat, codes, bound, sentinel)
-    pm, _ = _compact_codes(flat, mask8.reshape(-1), bound, 0)
-    return packed >> sbb, packed & ((1 << sbb) - 1), pm, n_pairs
+def _compact_rows_masked(mask2d, sb2d, pm2d, nt, nsb, bound,
+                         align: int = 1):
+    """Generic masked row compaction: [nt, K] selection mask +
+    superblock ids + 8-bit masks -> packed tile-major pair list via ONE
+    windowed scatter (two when the id+mask packing exceeds 31 bits).
 
-
-def _compact_topk_masked(cand, cand_ok, pmask, nt, nsb):
-    """[nt, K] per-tile candidates + validity + per-candidate 8-bit
-    masks -> packed tile-major pair list (static length nt*K)."""
-    k = cand.shape[1]
+    ``align`` > 1 pads each tile's pair run to a multiple of ``align``
+    with same-tile mask-0 entries, so the kernel can execute ``align``
+    pairs per grid step without a step ever straddling tiles
+    (pairs_per_step; worst-case padding nt*(align-1) entries at 8-bit
+    mask density ~0)."""
+    rows, k = mask2d.shape
     lw = nt * k
     tb = max(nt, 1).bit_length()
     sbb = max(nsb, 1).bit_length()
     tile_of = jnp.arange(lw, dtype=jnp.int32) // k
-    flat = cand_ok.reshape(-1)
-    sb_of = jnp.minimum(cand.reshape(-1), nsb)
-    if tb + sbb + 8 <= 31:
-        codes = ((tile_of << (sbb + 8)) | (sb_of << 8)
-                 | (pmask.reshape(-1) & 0xFF))
-        sentinel = (nt << (sbb + 8)) | (nsb << 8)
-        packed, n_pairs = _compact_codes(flat, codes, lw, sentinel)
-        return (packed >> (sbb + 8), (packed >> 8) & ((1 << sbb) - 1),
-                packed & 0xFF, n_pairs)
-    assert tb + sbb <= 31, "scene/ray count exceeds pair-packing range"
-    codes = (tile_of << sbb) | sb_of
-    sentinel = (nt << sbb) | nsb
-    packed, n_pairs = _compact_codes(flat, codes, lw, sentinel)
-    pm, _ = _compact_codes(flat, pmask.reshape(-1), lw, 0)
-    return packed >> sbb, packed & ((1 << sbb) - 1), pm, n_pairs
+    flat = mask2d.reshape(-1)
+    sb_of = jnp.minimum(sb2d.reshape(-1), nsb)
+    with_mask = tb + sbb + 8 <= 31
+    assert with_mask or tb + sbb <= 31, \
+        "scene/ray count exceeds pair-packing range"
+    shift = (sbb + 8) if with_mask else sbb
+    if with_mask:
+        codes = ((tile_of << shift) | (sb_of << 8)
+                 | (pm2d.reshape(-1) & 0xFF))
+    else:
+        codes = (tile_of << shift) | sb_of
+    sentinel = (nt << shift) | (nsb << 8 if with_mask else nsb)
+
+    if align == 1:
+        packed, n_pairs = _compact_codes(flat, codes, bound, sentinel)
+        out_len = lw
+    else:
+        counts = mask2d.sum(axis=1).astype(jnp.int32)       # [nt]
+        padded = -(-counts // align) * align
+        poff = jnp.cumsum(padded) - padded                  # exclusive
+        wrank = jnp.cumsum(mask2d.astype(jnp.int32), axis=1) - 1
+        pos_of = (poff[:, None] + wrank).reshape(-1)
+        out_len = lw + nt * (align - 1)
+        packed, _ = _compact_codes(flat, codes, bound, sentinel,
+                                   pos_of=pos_of, out_len=out_len)
+        # intra-tile padding entries carry the RIGHT tile (mask 0, sb
+        # sentinel) so aligned steps stay single-tile
+        extra = align - 1
+        tiles = jnp.arange(nt, dtype=jnp.int32)
+        pad_code = ((tiles << shift)
+                    | (nsb << 8 if with_mask else nsb))
+        ppos = poff[:, None] + counts[:, None] \
+            + jnp.arange(extra, dtype=jnp.int32)[None, :]
+        pvalid = (counts[:, None]
+                  + jnp.arange(extra, dtype=jnp.int32)[None, :]
+                  ) < padded[:, None]
+        tgt = jnp.where(pvalid, ppos, out_len).reshape(-1)
+        packed = packed.at[tgt].set(
+            jnp.broadcast_to(pad_code[:, None], (nt, extra)
+                             ).reshape(-1), mode="drop")
+        n_pairs = jnp.sum(padded)
+
+    pt = packed >> shift
+    psb = (packed >> 8 if with_mask else packed) & ((1 << sbb) - 1)
+    if with_mask:
+        return pt, psb, packed & 0xFF, n_pairs
+    pm, _ = _compact_codes(
+        flat, pm2d.reshape(-1), bound, 0,
+        pos_of=None if align == 1 else pos_of, out_len=out_len)
+    return pt, psb, pm, n_pairs
+
+
+def _compact_pairs_masked(sb_mask, mask8, bound_rows, align: int = 1):
+    """[nt, nsb] candidate mask + per-pair 8-bit block masks -> packed
+    tile-major pair list.  Replaces _compact_pairs + _block_masks on
+    the pallas-cull path: masks ride along as code bits, so no
+    separate mask stage and no gathers."""
+    nt, nsb = sb_mask.shape
+    sb2d = jnp.broadcast_to(jnp.arange(nsb, dtype=jnp.int32),
+                            (nt, nsb))
+    bound = jnp.minimum(bound_rows * nsb, nt * nsb)
+    return _compact_rows_masked(sb_mask, sb2d, mask8, nt, nsb, bound,
+                                align=align)
+
+
+def _compact_topk_masked(cand, cand_ok, pmask, nt, nsb,
+                         align: int = 1):
+    """[nt, K] per-tile candidates + validity + per-candidate 8-bit
+    masks -> packed tile-major pair list."""
+    return _compact_rows_masked(cand_ok, cand, pmask, nt, nsb,
+                                nt * cand.shape[1], align=align)
 
 
 def _tables_with_cap(tn_blk, cap_tile, nsb):
@@ -597,6 +642,26 @@ def _sort_pad_rays(root_lo, root_hi, o, d, t_cap, order=None,
     Returns (o, d, t_cap, (perm, inv_perm), n_orig)."""
     r = o.shape[0]
     if order is None:
+        order = _coherence_perm(root_lo, root_hi, o, d, t_cap, mode)
+    perm, inv_perm = order
+    o, d, t_cap = o[perm], d[perm], t_cap[perm]
+
+    pad = (-r) % TILE
+    if pad:
+        o = jnp.concatenate([o, jnp.tile(jnp.asarray([[0.0, 0.0, 1e8]]),
+                                         (pad, 1))])
+        d = jnp.concatenate([d, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]),
+                                         (pad, 1))])
+        t_cap = jnp.concatenate([t_cap, jnp.zeros((pad,))])
+    return o, d, t_cap, (perm, inv_perm), r
+
+
+def _coherence_perm(root_lo, root_hi, o, d, t_cap, mode: str = "full"):
+    """(perm, inv_perm) of the coherence sort — key logic of
+    _sort_pad_rays without any data gathers (callers that build the
+    kernel ray matrix apply the permutation as ONE row gather)."""
+    r = o.shape[0]
+    if True:   # noqa: indentation kept shallow for the mode ladder
         iota = jnp.arange(r, dtype=jnp.int32)
         if mode == "group" and r % 16 == 0 and r >= 2048:
             g = 16
@@ -629,26 +694,53 @@ def _sort_pad_rays(root_lo, root_hi, o, d, t_cap, order=None,
             keys = _ray_sort_keys(root_lo, root_hi, o, d, t_cap)
             _, perm = jax.lax.sort((keys, iota), num_keys=1)
             inv_perm = jnp.zeros((r,), jnp.int32).at[perm].set(iota)
-    else:
-        perm, inv_perm = order
-    o, d, t_cap = o[perm], d[perm], t_cap[perm]
+    return perm, inv_perm
+
+
+def _sorted_rays_matrix(root_lo, root_hi, o, d, t_cap, order=None,
+                        mode: str = "full"):
+    """Kernel ray matrix f32[(nt+1)*TILE, RAY_COLS] in coherence order
+    with ONE row gather.
+
+    The r3 path gathered o/d/t_cap separately (three 12-byte-row
+    gathers) and then copied them into the component matrix; building
+    the unsorted matrix first and permuting whole 64-byte rows once is
+    the same data movement the hardware actually likes.  Trailing
+    rows: dead-ray padding to a TILE multiple + the all-zero sentinel
+    tile.  Returns (rays, (perm, inv_perm), n_orig)."""
+    from prismarine_core_tpu.ops.pallas_intersect import RAY_COLS
+    r = o.shape[0]
+    if order is None:
+        order = _coherence_perm(root_lo, root_hi, o, d, t_cap, mode)
+    perm, _ = order
+
+    cols = jnp.zeros((r, RAY_COLS), jnp.float32)
+    cols = cols.at[:, 0:3].set(o)
+    cols = cols.at[:, 3:6].set(d)
+    cols = cols.at[:, 6].set(t_cap)
+    cols = cols.at[:, 8:11].set(_safe_inv(d))
+    rays = cols[perm]                       # the one row gather
 
     pad = (-r) % TILE
     if pad:
-        o = jnp.concatenate([o, jnp.tile(jnp.asarray([[0.0, 0.0, 1e8]]),
-                                         (pad, 1))])
-        d = jnp.concatenate([d, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]),
-                                         (pad, 1))])
-        t_cap = jnp.concatenate([t_cap, jnp.zeros((pad,))])
-    return o, d, t_cap, (perm, inv_perm), r
+        dead = jnp.zeros((pad, RAY_COLS), jnp.float32)
+        dead = dead.at[:, 2].set(1e8)       # o = (0, 0, 1e8)
+        dead = dead.at[:, 3].set(1.0)       # d = (1, 0, 0)
+        dead = dead.at[:, 8:11].set(
+            _safe_inv(jnp.asarray([[1.0, 0.0, 0.0]])))
+        rays = jnp.concatenate([rays, dead])
+    rays = jnp.concatenate(
+        [rays, jnp.zeros((TILE, RAY_COLS), jnp.float32)])
+    return rays, order, r
 
 
 def _run_kernel(pair_tile, pair_sb, pair_mask, n_real, rays, planes,
-                nt, nsb, window, prior=None):
+                nt, nsb, window, prior=None, pairs_per_step: int = 1):
     """Pad a pair list to a window multiple and run the Pallas kernel."""
     from prismarine_core_tpu.ops.pallas_intersect import (
         pallas_sb_intersect_windowed)
-    window = min(window, int(pair_tile.shape[0]))
+    pps = pairs_per_step
+    window = min(window, -(-int(pair_tile.shape[0]) // pps) * pps)
     wpad = (-int(pair_tile.shape[0])) % window
     if wpad:
         pair_tile = jnp.concatenate(
@@ -659,7 +751,7 @@ def _run_kernel(pair_tile, pair_sb, pair_mask, n_real, rays, planes,
             [pair_mask, jnp.zeros((wpad,), jnp.int32)])
     return pallas_sb_intersect_windowed(
         pair_tile, pair_sb, pair_mask, n_real, rays, planes,
-        window=window, prior=prior)
+        window=window, prior=prior, pairs_per_step=pps)
 
 
 #: per-round budget of the front-to-back query: each round executes
@@ -679,7 +771,9 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
                        strategy: str | None = None,
                        cull_impl: str = "pallas",
                        sort_mode: str = "full",
-                       recull: str = "kernel",
+                       recull: str = "sb",
+                       stale_round_masks: bool = False,
+                       pairs_per_step: int = 1,
                        cull_chunk: int = 1024):
     """Pallas fast path: sort+tile rays, dense block-granular cull,
     front-to-back pair execution, unsort.  Returns (t, slot, order).
@@ -706,33 +800,31 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
     distances AND the per-pair 8-bit block masks in one pass; "xla" is
     the round-3 two-stage fallback (superblock scan + windowed
     _block_masks).  ``recull``: how two_round prunes round 2 on the
-    pallas path — "tn" re-derives pairs from the saved block entry
-    distances under per-tile caps (no second cull), "kernel" re-runs
-    the cull kernel with per-ray tightened caps (exact, costlier).
-    ``sort_mode``: see _sort_pad_rays.
+    pallas path — "sb" per-ray-reculls at superblock granularity and
+    keeps the round-1 block masks (measured fastest), "kernel" re-runs
+    the cull kernel with per-ray tightened caps, "tn" filters the
+    saved block entry distances by per-tile caps (cheapest stage-wise
+    but per-tile caps re-admit whole tiles once one lane misses to the
+    sky — measured 6x slower end-to-end, kept for reference).
+    ``stale_round_masks``: the "rounds" strategy normally re-derives
+    per-ray block masks each round against the tightened caps (lanes
+    retire individually — stale masks measured +34% on incoherent
+    any-hit); True keeps round-0 masks (wins for coherent queries that
+    finish in a round or two).  ``sort_mode``: see _sort_pad_rays.
     """
-    o, d, t_cap, order, r = _sort_pad_rays(root_lo, root_hi, o, d,
-                                           t_cap, order, mode=sort_mode)
-    rp = o.shape[0]
-    nt = rp // TILE
-
-    ot = o.reshape(nt, TILE, 3)
-    dt = d.reshape(nt, TILE, 3)
-    tct = t_cap.reshape(nt, TILE)
-    inv = _safe_inv(dt)
+    rays, order, r = _sorted_rays_matrix(root_lo, root_hi, o, d, t_cap,
+                                         order, mode=sort_mode)
+    nt = rays.shape[0] // TILE - 1
     nsb = ps.n_superblocks
 
     from prismarine_core_tpu.ops.pallas_intersect import (RAY_COLS,
                                                           RC_TCAP)
 
-    # rays layout [(nt+1)*TILE, 16]: component columns + 1/d + one
-    # padding tile (all-zero: t_cap 0, never hits)
-    rays = jnp.zeros((nt + 1, TILE, RAY_COLS), jnp.float32)
-    rays = rays.at[:nt, :, 0:3].set(ot)
-    rays = rays.at[:nt, :, 3:6].set(dt)
-    rays = rays.at[:nt, :, 6].set(tct)
-    rays = rays.at[:nt, :, 8:11].set(inv)
-    rays = rays.reshape((nt + 1) * TILE, RAY_COLS)
+    body = rays[:nt * TILE]
+    ot = body[:, 0:3].reshape(nt, TILE, 3)
+    dt = body[:, 3:6].reshape(nt, TILE, 3)
+    tct = body[:, RC_TCAP].reshape(nt, TILE)
+    inv = body[:, 8:11].reshape(nt, TILE, 3)
 
     k_first = K_FIRST if k_round is None else k_round
     if strategy is None:
@@ -741,6 +833,9 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
         strategy = "single"
 
     use_pallas_cull = cull_impl == "pallas"
+    # pairs_per_step needs tile-ALIGNED pair lists, which only the
+    # masked (pallas-cull) compaction produces
+    pps = pairs_per_step if use_pallas_cull else 1
     n_live = _live_tile_bound(tct)
 
     # ---- dense cull: candidate superblocks + entry distances + masks
@@ -765,7 +860,7 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
     def compact_dense(mask, tct_eff, m8, bound):
         """[nt, nsb] candidate mask -> (pt, psb, pm, n_pairs)."""
         if m8 is not None:
-            return _compact_pairs_masked(mask, m8, bound)
+            return _compact_pairs_masked(mask, m8, bound, align=pps)
         pt, psb, np_ = _compact_pairs(mask, nsb)
         pm = _block_masks(ot, inv, tct_eff, pt, psb, np_,
                           ps.block_lo, ps.block_hi)
@@ -777,7 +872,8 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
             pmk = jnp.take_along_axis(
                 m8, jnp.minimum(cand, nsb - 1), axis=1)
             pmk = jnp.where(ok, pmk, 0)
-            return _compact_topk_masked(cand, ok, pmk, nt, nsb)
+            return _compact_topk_masked(cand, ok, pmk, nt, nsb,
+                                        align=pps)
         pt, psb, np_ = _compact_topk(cand, ok, nt, nsb)
         pm = _block_masks(ot, inv, tct_eff, pt, psb, np_,
                           ps.block_lo, ps.block_hi)
@@ -786,7 +882,8 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
     if strategy == "single":
         pt, psb, pm, np_ = compact_dense(sb_mask, tct, mask8, n_live)
         out = _run_kernel(pt, psb, pm, np_, rays,
-                          ps.planes, nt, nsb, window)
+                          ps.planes, nt, nsb, window,
+                          pairs_per_step=pps)
     elif strategy == "two_round":
         # ---- round 1: K nearest candidate superblocks per tile ----
         tn_cand = jnp.where(sb_mask, sb_tn, INF_DIST)
@@ -794,7 +891,7 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
         cand_ok = -neg_tn < INF_DIST
         pt1, psb1, pm1, np1 = compact_topk(cand, cand_ok, tct, mask8)
         out = _run_kernel(pt1, psb1, pm1, np1, rays, ps.planes,
-                          nt, nsb, window)
+                          nt, nsb, window, pairs_per_step=pps)
 
         # ---- round 2: re-cull the rest against tightened caps ----
         o1 = out.reshape(nt + 1, TILE, 8)
@@ -838,7 +935,8 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
         pt2, psb2, pm2, np2 = compact_dense(sb_mask2, tct2, mask8_2,
                                             n_live2)
         out = _run_kernel(pt2, psb2, pm2, np2, rays, ps.planes,
-                          nt, nsb, window, prior=out)
+                          nt, nsb, window, prior=out,
+                          pairs_per_step=pps)
     else:
         k = k_first
         # per-tile front-to-back candidate order (one row-wise sort)
@@ -875,8 +973,15 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
             ok = (ctn <= tile_cap[:, None]) & (ctn < INF_DIST)
             pt, psb, pm, npairs = compact_topk(cand, ok, tct_eff,
                                                mask8)
+            if use_pallas_cull and not stale_round_masks:
+                # refresh the block masks against the PER-RAY tightened
+                # caps: lanes retire individually, and round-0 masks
+                # measured +34% kernel work on incoherent any-hit
+                pm = _block_masks(ot, inv, tct_eff, pt, psb, npairs,
+                                  ps.block_lo, ps.block_hi)
             return _run_kernel(pt, psb, pm, npairs, rays, ps.planes,
-                               nt, nsb, window, prior=out)
+                               nt, nsb, window, prior=out,
+                               pairs_per_step=pps)
 
         # round 0 always runs (prior=None initializes the accumulator
         # to t_cap/-1 inside _run_kernel)
@@ -885,7 +990,7 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
         ok0 = ctn0 < INF_DIST
         pt0, psb0, pm0, np0 = compact_topk(cand0, ok0, tct, mask8)
         out = _run_kernel(pt0, psb0, pm0, np0, rays, ps.planes,
-                          nt, nsb, window)
+                          nt, nsb, window, pairs_per_step=pps)
 
         def cond(state):
             rr, out, tile_cap = state
@@ -912,7 +1017,7 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
     slot = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32)
 
     inv_perm = order[1]
-    t, slot = (x.reshape(rp)[:r] for x in (t, slot))
+    t, slot = (x.reshape(nt * TILE)[:r] for x in (t, slot))
     return t[inv_perm], slot[inv_perm], order
 
 

@@ -74,16 +74,15 @@ RAY_COLS = 16
 OC_T, OC_SLOT = range(2)
 
 
-def _sb_kernel(pair_tile, pair_sb, pair_mask, first_pair,
+def _sb_kernel(pps, pair_tile, pair_sb, pair_mask, first_step,
                ray_ref,                        # [TILE, 16]
-               tri_ref,                        # [1, 16, SB*BLOCK]
-               prior_ref,                      # [TILE, 8]
-               out_ref,                        # [TILE, 8]
-               run_tt,                         # scratch [TILE, BLOCK]
-               run_k):                         # scratch [TILE, BLOCK]
+               *refs):                         # pps tri refs, prior,
+                                               # out, run_tt, run_k
+    tri_refs = refs[:pps]                      # each [1, 16, SB*BLOCK]
+    prior_ref, out_ref, run_tt, run_k = refs[pps:]
     i = pl.program_id(0)
 
-    @pl.when(first_pair[i] == 1)
+    @pl.when(first_step[i] == 1)
     def _init():
         # first visit of this tile *within this window*: seed the VMEM
         # accumulator from the previous window's best (or the caller's
@@ -96,56 +95,61 @@ def _sb_kernel(pair_tile, pair_sb, pair_mask, first_pair,
     rox, roy, roz = rcol(RC_OX), rcol(RC_OY), rcol(RC_OZ)
     rdx, rdy, rdz = rcol(RC_DX), rcol(RC_DY), rcol(RC_DZ)
 
-    base_slot = pair_sb[i] * (SB * BLOCK)
-    mask = pair_mask[i]
-
     # DEFERRED-ARGMIN accumulation: each live sub-block folds its
-    # candidate (t, k) into a pair-local [TILE, BLOCK] running min with
-    # three elementwise ops; the expensive cross-lane argmin + the
-    # accumulator merge run ONCE per pair instead of once per
-    # sub-block.  Strict < keeps tie-breaking (lowest k, then lowest
-    # lane) identical to the sequential form, so results are
-    # bit-identical.
+    # candidate (t, j*SB+k) into a step-local [TILE, BLOCK] running min
+    # with three elementwise ops; the expensive cross-lane argmin + the
+    # accumulator merge run ONCE per STEP (= ``pps`` same-tile pairs)
+    # instead of once per sub-block.  Strict < keeps tie-breaking
+    # (lowest pair, then lowest k, then lowest lane) identical to the
+    # sequential form, so results are bit-identical.
     run_tt[:, :] = jnp.full((TILE, BLOCK), INF_DIST, jnp.float32)
     run_k[:, :] = jnp.zeros((TILE, BLOCK), jnp.float32)
 
-    for k in range(SB):
-        @pl.when((mask >> k) & 1 == 1)
-        def _mt(k=k):
-            def trow(c):
-                return tri_ref[0, c,
-                               k * BLOCK:(k + 1) * BLOCK][None, :]
+    any_mask = pair_mask[i * pps]
+    for j in range(1, pps):
+        any_mask = any_mask | pair_mask[i * pps + j]
 
-            e1x, e1y, e1z = trow(TC_E1X), trow(TC_E1Y), trow(TC_E1Z)
-            e2x, e2y, e2z = trow(TC_E2X), trow(TC_E2Y), trow(TC_E2Z)
+    for j in range(pps):
+        mask_j = pair_mask[i * pps + j]
+        for k in range(SB):
+            @pl.when((mask_j >> k) & 1 == 1)
+            def _mt(j=j, k=k):
+                def trow(c):
+                    return tri_refs[j][0, c,
+                                       k * BLOCK:(k + 1) * BLOCK][None, :]
 
-            px = rdy * e2z - rdz * e2y
-            py = rdz * e2x - rdx * e2z
-            pz = rdx * e2y - rdy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv = 1.0 / jnp.where(jnp.abs(det) < _DET_EPS,
-                                  _DET_EPS, det)
+                e1x, e1y, e1z = trow(TC_E1X), trow(TC_E1Y), trow(TC_E1Z)
+                e2x, e2y, e2z = trow(TC_E2X), trow(TC_E2Y), trow(TC_E2Z)
 
-            sx = rox - trow(TC_V0X)
-            sy = roy - trow(TC_V0Y)
-            sz = roz - trow(TC_V0Z)
-            uu = (sx * px + sy * py + sz * pz) * inv
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            vv = (rdx * qx + rdy * qy + rdz * qz) * inv
-            tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+                px = rdy * e2z - rdz * e2y
+                py = rdz * e2x - rdx * e2z
+                pz = rdx * e2y - rdy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv = 1.0 / jnp.where(jnp.abs(det) < _DET_EPS,
+                                      _DET_EPS, det)
 
-            ok = ((jnp.abs(det) >= _DET_EPS)
-                  & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                  & (tt > PZERO) & (trow(TC_VALID) > 0.5))
-            tt = jnp.where(ok, tt, INF_DIST)
+                sx = rox - trow(TC_V0X)
+                sy = roy - trow(TC_V0Y)
+                sz = roz - trow(TC_V0Z)
+                uu = (sx * px + sy * py + sz * pz) * inv
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                vv = (rdx * qx + rdy * qy + rdz * qz) * inv
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv
 
-            better = tt < run_tt[:, :]
-            run_k[:, :] = jnp.where(better, jnp.float32(k), run_k[:, :])
-            run_tt[:, :] = jnp.where(better, tt, run_tt[:, :])
+                ok = ((jnp.abs(det) >= _DET_EPS)
+                      & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                      & (tt > PZERO) & (trow(TC_VALID) > 0.5))
+                tt = jnp.where(ok, tt, INF_DIST)
 
-    @pl.when(mask != 0)
+                better = tt < run_tt[:, :]
+                run_k[:, :] = jnp.where(better,
+                                        jnp.float32(j * SB + k),
+                                        run_k[:, :])
+                run_tt[:, :] = jnp.where(better, tt, run_tt[:, :])
+
+    @pl.when(any_mask != 0)
     def _merge():
         rt = run_tt[:, :]
         best = out_ref[:, OC_T]
@@ -161,9 +165,18 @@ def _sb_kernel(pair_tile, pair_sb, pair_mask, first_pair,
         kj = jnp.sum(jnp.where(onehot, run_k[:, :], 0.0),
                      axis=1).astype(jnp.int32)             # [TILE]
 
+        # decode (pair jj, sub-block kk) and select that pair's base
+        # slot (scalar multipliers over vector predicates)
+        jj = kj // SB
+        kk = kj - jj * SB
+        base = jnp.zeros_like(kj)
+        for jx in range(pps):
+            base = jnp.where(jj == jx,
+                             pair_sb[i * pps + jx] * (SB * BLOCK), base)
+
         best = jnp.where(better, tj, best)
         slot_best = jnp.where(better,
-                              base_slot + kj * BLOCK + j,
+                              base + kk * BLOCK + j,
                               slot_best)
 
         colid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 1)
@@ -177,7 +190,7 @@ def _sb_kernel(pair_tile, pair_sb, pair_mask, first_pair,
         out_ref[:, :] = out
 
 
-@partial(jax.jit, static_argnames=("window",))
+@partial(jax.jit, static_argnames=("window", "pairs_per_step"))
 def pallas_sb_intersect_windowed(
     pair_tile,               # i32[L] pair list, tile-major; pad -> nt
     pair_sb,                 # i32[L] superblock ids (pad -> sentinel)
@@ -187,6 +200,7 @@ def pallas_sb_intersect_windowed(
     planes,                  # f32[nsb+1, 16, SB*BLOCK] (last = sentinel)
     window: int = 1024,
     prior=None,              # f32[(nt+1)*TILE, 8] carried bests (round 2+)
+    pairs_per_step: int = 1,
 ):
     """Exact pair execution: while_loop over fixed-size pair windows.
 
@@ -197,27 +211,40 @@ def pallas_sb_intersect_windowed(
     keep their carried values through the output aliasing.  ``prior``
     seeds the accumulator from an earlier round's result instead of the
     t_cap/-1 initialization (the multi-round front-to-back query).
+
+    ``pairs_per_step`` > 1 executes that many consecutive pairs per
+    grid step (separate double-buffered plane inputs), amortizing the
+    fixed per-step cost (measured 0.3-0.56 us/pair in round 3 — about
+    a third of coherent kernel time).  REQUIRES the pair list to be
+    tile-aligned: every aligned group of ``pairs_per_step`` pairs
+    shares one tile (packet.py compacts with ``align=`` padding).
     """
+    pps = pairs_per_step
+    assert window % pps == 0
     n_rows = rays.shape[0]
     n_tiles_pad = n_rows // TILE - 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(window,),
+        grid=(window // pps,),
         in_specs=[
             pl.BlockSpec((TILE, RAY_COLS),
-                         lambda i, pt, psb, pm, fp: (pt[i], 0),
+                         lambda i, pt, psb, pm, fp: (pt[i * pps], 0),
                          memory_space=pltpu.VMEM),
+        ] + [
             pl.BlockSpec((1, 16, SB * BLOCK),
-                         lambda i, pt, psb, pm, fp: (psb[i], 0, 0),
-                         memory_space=pltpu.VMEM),
+                         (lambda j: lambda i, pt, psb, pm, fp:
+                          (psb[i * pps + j], 0, 0))(j),
+                         memory_space=pltpu.VMEM)
+            for j in range(pps)
+        ] + [
             pl.BlockSpec((TILE, 8),
-                         lambda i, pt, psb, pm, fp: (pt[i], 0),
+                         lambda i, pt, psb, pm, fp: (pt[i * pps], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (TILE, 8),
-            lambda i, pt, psb, pm, fp: (pt[i], 0),
+            lambda i, pt, psb, pm, fp: (pt[i * pps], 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((TILE, BLOCK), jnp.float32),   # run_tt
@@ -229,13 +256,13 @@ def pallas_sb_intersect_windowed(
     # interpreter there; real TPU compiles the kernel.
     interpret = jax.default_backend() == "cpu"
     call = pl.pallas_call(
-        _sb_kernel,
+        partial(_sb_kernel, pps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, 8), jnp.float32),
-        # prior (input 6 = 4 scalar-prefetch + rays + planes + prior)
-        # aliases the output: tiles untouched by a window keep their
-        # carried values in place, so the driver needs no merge pass.
-        input_output_aliases={6: 0},
+        # prior (input 5+pps = 4 scalar-prefetch + rays + pps planes +
+        # prior) aliases the output: tiles untouched by a window keep
+        # their carried values in place, so the driver needs no merge.
+        input_output_aliases={5 + pps: 0},
         interpret=interpret,
     )
 
@@ -266,10 +293,13 @@ def pallas_sb_intersect_windowed(
         live = (start + jnp.arange(window, dtype=jnp.int32)) < n_real
         pt = jnp.where(live, pt, n_tiles_pad)
         pm = jnp.where(live, pm, 0)
+        pt_s = pt[::pps]                 # tile of each STEP
         fp = jnp.concatenate([
             jnp.ones((1,), jnp.int32),
-            (pt[1:] != pt[:-1]).astype(jnp.int32)])
-        out = call(pt, psb, pm, fp, rays, planes, out)
+            (pt_s[1:] != pt_s[:-1]).astype(jnp.int32)])
+        # the same planes array feeds every per-pair input slot; only
+        # the index maps differ
+        out = call(pt, psb, pm, fp, rays, *([planes] * pps), out)
         return start + window, out
 
     _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), init_out))

@@ -97,7 +97,8 @@ def make_sharded_renderer(mesh: Mesh, cfg: RenderConfig,
 
 def make_train_step(mesh: Mesh, cfg: RenderConfig, lr: float = 5e-2,
                     shard_triangles: bool = False, lr_scale=None,
-                    normalize_grads: bool = False):
+                    normalize_grads: bool = False,
+                    vertex_faces=None):
     """Inverse-rendering SGD step, the flagship 'training step':
     params = (material diffuse table, light colors, vertex positions);
     loss = MSE against a target image; gradients all-reduce over the mesh
@@ -111,6 +112,12 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, lr: float = 5e-2,
     param's gradient before the step (sign-SGD-like; makes the step
     size ``lr`` an absolute parameter-space distance, robust to the
     spp-1 gradient-magnitude noise of a stochastic renderer).
+
+    ``vertex_faces`` (i32[T,3], from ``shared_vertices``): switch the
+    geometry parameterization to a shared vertex buffer — params carry
+    ``"verts"`` f32[V,3] instead of per-corner arrays, and corners
+    gather through this remap so watertight meshes stay watertight
+    under optimization.
     """
     lr_scale = lr_scale or {}
     ray_sh = NamedSharding(mesh, P("data", None))
@@ -123,7 +130,22 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, lr: float = 5e-2,
                                    diffuse=params["mat_diffuse"])
         lights = dataclasses.replace(scene.lights,
                                      color=params["light_color"])
-        tris = dataclasses.replace(scene.triangles, v0=params["v0"])
+        if "verts" in params:
+            # shared-vertex mode: one deduplicated buffer, corners
+            # gathered through the index remap so shared vertices move
+            # together (vertex_faces captured from shared_vertices())
+            v = params["verts"]
+            tris = dataclasses.replace(
+                scene.triangles, v0=v[vertex_faces[:, 0]],
+                v1=v[vertex_faces[:, 1]], v2=v[vertex_faces[:, 2]])
+        else:
+            # corner mode: ALL THREE vertex fields optimize (r3 only
+            # stepped v0, leaving "gradients w.r.t. vertex positions"
+            # one-third true in the training loop)
+            tris = dataclasses.replace(
+                scene.triangles, v0=params["v0"],
+                v1=params.get("v1", scene.triangles.v1),
+                v2=params.get("v2", scene.triangles.v2))
         scene = dataclasses.replace(scene, materials=mats, lights=lights,
                                     triangles=tris)
         if cfg.intersector == "pallas_sharded":
@@ -169,8 +191,36 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, lr: float = 5e-2,
 
 
 def init_params(scene: Scene):
+    """Corner-mode parameters: all three vertex fields optimize."""
     return {
         "mat_diffuse": scene.materials.diffuse,
         "light_color": scene.lights.color,
         "v0": scene.triangles.v0,
+        "v1": scene.triangles.v1,
+        "v2": scene.triangles.v2,
+    }
+
+
+def shared_vertices(soup):
+    """Deduplicate the corner soup into (verts f32[V,3], faces i32[T,3]).
+
+    Shared vertices in a soup are bitwise-equal copies of the same
+    source vertex (loaders gather them from one buffer), so exact
+    np.unique recovers the indexed mesh.  Host-side, once, at init.
+    Use with ``make_train_step(vertex_faces=faces)`` and params
+    ``{"verts": verts, ...}`` (``init_shared_params``)."""
+    corners = np.concatenate([np.asarray(soup.v0), np.asarray(soup.v1),
+                              np.asarray(soup.v2)], axis=0)   # [3T, 3]
+    verts, inv = np.unique(corners, axis=0, return_inverse=True)
+    t = np.asarray(soup.v0).shape[0]
+    faces = np.stack([inv[:t], inv[t:2 * t], inv[2 * t:]], axis=1)
+    return (jnp.asarray(verts, jnp.float32),
+            jnp.asarray(faces, jnp.int32))
+
+
+def init_shared_params(scene: Scene, verts):
+    return {
+        "mat_diffuse": scene.materials.diffuse,
+        "light_color": scene.lights.color,
+        "verts": verts,
     }

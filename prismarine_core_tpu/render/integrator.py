@@ -45,7 +45,9 @@ from prismarine_core_tpu.utils.config import GAP, INF_DIST, RenderConfig
 def _pallas_kwargs(cfg: RenderConfig, any_hit: bool) -> dict:
     """Map RenderConfig's pallas knobs to _run_packet_pallas kwargs."""
     kw = dict(cull_impl=cfg.cull_impl, sort_mode=cfg.sort_mode,
-              recull=cfg.recull)
+              recull=cfg.recull,
+              stale_round_masks=cfg.stale_round_masks,
+              pairs_per_step=cfg.pairs_per_step)
     strat = cfg.anyhit_strategy if any_hit else cfg.closest_strategy
     k = cfg.anyhit_k if any_hit else cfg.closest_k
     if strat:

@@ -107,12 +107,23 @@ class RenderConfig:
     #: sort, index packed into the key's low bits), "group" (sort
     #: 16-ray groups by live-centroid key — 16x fewer sort elements).
     sort_mode: str = "full"
-    #: two_round round-2 pruning on the pallas-cull path: "tn" derives
-    #: round-2 pairs from the saved block entry distances under
-    #: per-tile caps (no second cull pass); "kernel" re-runs the cull
-    #: kernel with per-ray tightened caps (tighter pairs, one more
-    #: kernel pass).  Results identical either way.
-    recull: str = "kernel"
+    #: two_round round-2 pruning on the pallas-cull path: "sb" (per-ray
+    #: superblock recull + round-1 block masks, measured fastest),
+    #: "kernel" (re-run the cull kernel with tightened per-ray caps),
+    #: "tn" (per-tile caps over saved block distances — cheap but
+    #: re-admits whole tiles; measured 6x slower, reference only).
+    #: Results identical in all modes.
+    recull: str = "sb"
+    #: "rounds" strategy: keep round-0 block masks instead of
+    #: re-deriving them per round against tightened per-ray caps
+    #: (True wins when queries finish in a round or two — coherent;
+    #: False measured far better for incoherent any-hit)
+    stale_round_masks: bool = False
+    #: consecutive same-tile pairs executed per kernel grid step
+    #: (pallas-cull path only): amortizes the fixed per-step cost
+    #: (0.3-0.56 us/pair measured r3) at the price of tile-aligned
+    #: pair-list padding and a bigger kernel body.
+    pairs_per_step: int = 1
     #: execution-strategy overrides for the pallas intersector
     #: ("" / 0 = the measured defaults: closest -> two_round K=8,
     #: any-hit -> rounds K=8; see _run_packet_pallas)

@@ -198,3 +198,34 @@ def test_pallas_dead_lanes_culled():
                        np.asarray(bvh.orig)[np.maximum(slot, 0)], -1)
         exp = np.where(np.asarray(alive), np.asarray(hb.tri), -1)
         np.testing.assert_array_equal(tri, exp)
+
+
+@pytest.mark.parametrize("pps", [2, 4])
+def test_pairs_per_step_bit_identical(pps):
+    """pairs_per_step batches same-tile pairs into one kernel grid step
+    (tile-aligned compaction padding); results must be IDENTICAL to the
+    one-pair-per-step execution."""
+    from prismarine_core_tpu.accel.packet import _run_packet_pallas
+    soup = _random_soup(900, capacity=1024, seed=41)
+    bvh = build_bvh(soup, leaf_size=4)
+    ps = build_packet_set(bvh)
+    o, d = _rand_rays(1024, seed=42)
+    t_cap = jnp.full((1024,), 1e4)
+
+    t1, s1, _ = _run_packet_pallas(bvh.lo[0], bvh.hi[0], ps, o, d,
+                                   t_cap, pairs_per_step=1)
+    tp, sp, _ = _run_packet_pallas(bvh.lo[0], bvh.hi[0], ps, o, d,
+                                   t_cap, pairs_per_step=pps)
+    np.testing.assert_array_equal(np.asarray(sp), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(tp), np.asarray(t1))
+
+    # any-hit (rounds strategy) too
+    t_max = jnp.full((1024,), 25.0)
+    _, s1a, _ = _run_packet_pallas(bvh.lo[0], bvh.hi[0], ps, o, d,
+                                   t_max, any_hit=True,
+                                   pairs_per_step=1)
+    _, spa, _ = _run_packet_pallas(bvh.lo[0], bvh.hi[0], ps, o, d,
+                                   t_max, any_hit=True,
+                                   pairs_per_step=pps)
+    np.testing.assert_array_equal(np.asarray(spa) >= 0,
+                                  np.asarray(s1a) >= 0)
