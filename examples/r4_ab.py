@@ -37,6 +37,15 @@ VARIANTS = {
                               closest_strategy="single"),
     "r4-pps4-single": dict(stale_round_masks=True, pairs_per_step=4,
                            closest_strategy="single"),
+    "r4-pps16": dict(stale_round_masks=True, pairs_per_step=16),
+    "r4-pps8-refresh": dict(pairs_per_step=8),
+    # frame decomposition at the pps8 config
+    "decomp-noshadow": dict(stale_round_masks=True, pairs_per_step=8,
+                            direct_light=False),
+    "decomp-b1": dict(stale_round_masks=True, pairs_per_step=8,
+                      max_bounces=1),
+    "decomp-b2": dict(stale_round_masks=True, pairs_per_step=8,
+                      max_bounces=2),
 }
 
 

@@ -159,7 +159,8 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, lr: float = 5e-2,
             from prismarine_core_tpu.parallel.shard_intersect import (
                 build_sharded_packets, constrain_packets)
             bvh = build_bvh(tris, leaf_size=cfg.bvh_leaf_size)
-            sp = build_sharded_packets(bvh, mp=cfg.mesh.shape["model"])
+            sp = build_sharded_packets(bvh, mp=cfg.mesh.shape["model"],
+                                       soup=tris)
             scene = dataclasses.replace(
                 scene, packets=constrain_packets(sp, cfg.mesh), bvh=None)
         return scene

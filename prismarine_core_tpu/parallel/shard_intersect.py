@@ -65,6 +65,19 @@ class ShardedPackets:
     tv0: jax.Array       # f32[nsb, SB*BLOCK, 3]
     tv1: jax.Array       # f32[nsb, SB*BLOCK, 3]
     tv2: jax.Array       # f32[nsb, SB*BLOCK, 3]
+    #: per-slot SHADING attributes (VERDICT r3 item 6: the attribute
+    #: soup used to replicate): vertex normals, uvs, material ids in
+    #: Morton slot order.  The winning shard interpolates its own
+    #: surface fields and carries them through the min-reduce, so no
+    #: replicated TriangleSoup remains for shading either.  All-zero
+    #: when built without a soup (intersection-only usage).
+    n0: jax.Array        # f32[nsb, SB*BLOCK, 3]
+    n1: jax.Array        # f32[nsb, SB*BLOCK, 3]
+    n2: jax.Array        # f32[nsb, SB*BLOCK, 3]
+    t0: jax.Array        # f32[nsb, SB*BLOCK, 2]
+    t1: jax.Array        # f32[nsb, SB*BLOCK, 2]
+    t2: jax.Array        # f32[nsb, SB*BLOCK, 2]
+    mat_id: jax.Array    # i32[nsb, SB*BLOCK]
     root_lo: jax.Array   # f32[3]
     root_hi: jax.Array   # f32[3]
 
@@ -73,8 +86,12 @@ class ShardedPackets:
         return self.planes.shape[0]
 
 
-def build_sharded_packets(bvh: BVH, mp: int) -> ShardedPackets:
-    """Global PacketSet -> shard-friendly layout, nsb padded to mp."""
+def build_sharded_packets(bvh: BVH, mp: int, soup=None) -> ShardedPackets:
+    """Global PacketSet -> shard-friendly layout, nsb padded to mp.
+
+    ``soup`` (TriangleSoup, optional): also slot-order the shading
+    attributes so the sharded query can interpolate surfaces locally;
+    omitted -> zero attributes (intersection-only)."""
     ps = build_packet_set(bvh)
     nsb = ps.n_superblocks
     nsb_pad = -(-nsb // mp) * mp
@@ -99,6 +116,28 @@ def build_sharded_packets(bvh: BVH, mp: int) -> ShardedPackets:
     tv0 = slots_per_sb(bvh.tv0)
     tv1 = slots_per_sb(bvh.tv1)
     tv2 = slots_per_sb(bvh.tv2)
+
+    def attr_per_sb(src, width):
+        """Gather a per-triangle attribute into slot order [nsb,spb,w]."""
+        if soup is None:
+            shape = (nsb, spb, width) if width > 1 else (nsb, spb)
+            dt = jnp.int32 if width == 1 else jnp.float32
+            return jnp.zeros(shape, dt)
+        gi = jnp.maximum(ps.slot_orig, 0)
+        a = src[gi]
+        a = jnp.where((ps.slot_orig >= 0)[:, None] if a.ndim == 2
+                      else (ps.slot_orig >= 0), a, 0)
+        if width > 1:
+            return a.reshape(nsb, spb, width)
+        return a.reshape(nsb, spb)
+
+    n0 = attr_per_sb(soup.n0 if soup else None, 3)
+    n1 = attr_per_sb(soup.n1 if soup else None, 3)
+    n2 = attr_per_sb(soup.n2 if soup else None, 3)
+    t0 = attr_per_sb(soup.t0 if soup else None, 2)
+    t1 = attr_per_sb(soup.t1 if soup else None, 2)
+    t2 = attr_per_sb(soup.t2 if soup else None, 2)
+    mat_id = attr_per_sb(soup.mat_id if soup else None, 1)
     if pad:
         planes = jnp.concatenate(
             [planes, jnp.zeros((pad,) + planes.shape[1:], jnp.float32)])
@@ -111,12 +150,23 @@ def build_sharded_packets(bvh: BVH, mp: int) -> ShardedPackets:
         orig = jnp.concatenate(
             [orig, jnp.full((pad, orig.shape[1]), -1, jnp.int32)])
         zpad = jnp.zeros((pad, spb, 3), jnp.float32)
+        zpad2 = jnp.zeros((pad, spb, 2), jnp.float32)
         tv0 = jnp.concatenate([tv0, zpad])
         tv1 = jnp.concatenate([tv1, zpad])
         tv2 = jnp.concatenate([tv2, zpad])
+        n0 = jnp.concatenate([n0, zpad])
+        n1 = jnp.concatenate([n1, zpad])
+        n2 = jnp.concatenate([n2, zpad])
+        t0 = jnp.concatenate([t0, zpad2])
+        t1 = jnp.concatenate([t1, zpad2])
+        t2 = jnp.concatenate([t2, zpad2])
+        mat_id = jnp.concatenate(
+            [mat_id, jnp.zeros((pad, spb), jnp.int32)])
     return ShardedPackets(planes=planes, sb_lo=sb_lo, sb_hi=sb_hi,
                           block_lo=block_lo, block_hi=block_hi,
                           orig=orig, tv0=tv0, tv1=tv1, tv2=tv2,
+                          n0=n0, n1=n1, n2=n2, t0=t0, t1=t1, t2=t2,
+                          mat_id=mat_id,
                           root_lo=bvh.lo[0], root_hi=bvh.hi[0])
 
 
@@ -125,19 +175,14 @@ def shard_packets(sp: ShardedPackets, mesh: Mesh) -> ShardedPackets:
     'model', root box replicated."""
     model = NamedSharding(mesh, P("model"))
     repl = NamedSharding(mesh, P())
-    return ShardedPackets(
-        planes=jax.device_put(sp.planes, model),
-        sb_lo=jax.device_put(sp.sb_lo, model),
-        sb_hi=jax.device_put(sp.sb_hi, model),
-        block_lo=jax.device_put(sp.block_lo, model),
-        block_hi=jax.device_put(sp.block_hi, model),
-        orig=jax.device_put(sp.orig, model),
-        tv0=jax.device_put(sp.tv0, model),
-        tv1=jax.device_put(sp.tv1, model),
-        tv2=jax.device_put(sp.tv2, model),
-        root_lo=jax.device_put(sp.root_lo, repl),
-        root_hi=jax.device_put(sp.root_hi, repl),
-    )
+
+    def put(x, name):
+        return jax.device_put(
+            x, repl if name in ("root_lo", "root_hi") else model)
+
+    return ShardedPackets(**{
+        f.name: put(getattr(sp, f.name), f.name)
+        for f in dataclasses.fields(sp)})
 
 
 def _local_query(sp_local: ShardedPackets, o, d, t_cap, any_hit: bool):
@@ -167,15 +212,43 @@ def _local_query(sp_local: ShardedPackets, o, d, t_cap, any_hit: bool):
     tri = jnp.where(slot >= 0, ps.slot_orig[jnp.maximum(slot, 0)], -1)
     # differentiable re-eval against the local vertex shard
     six = jnp.maximum(slot, 0)
-    tvs = sp_local.tv0.reshape(-1, 3), sp_local.tv1.reshape(-1, 3), \
-        sp_local.tv2.reshape(-1, 3)
-    t, u, v, _ = moller_trumbore(o, d, tvs[0][six], tvs[1][six],
-                                 tvs[2][six])
+    v0l, v1l, v2l = (sp_local.tv0.reshape(-1, 3)[six],
+                     sp_local.tv1.reshape(-1, 3)[six],
+                     sp_local.tv2.reshape(-1, 3)[six])
+    t, u, v, _ = moller_trumbore(o, d, v0l, v1l, v2l)
     hitm = tri >= 0
     t = jnp.where(hitm, t, INF_DIST)
     u = jnp.where(hitm, u, 0.0)
     v = jnp.where(hitm, v, 0.0)
-    return t_key, t, u, v, tri
+
+    # shard-local surface interpolation (VERDICT r3 item 6): the
+    # winning shard OWNS the attribute slots, so interpolated shading
+    # fields ride the min-reduce payload and no replicated soup is
+    # touched downstream.  12 channels: ns(3) ng(3) tang(3) uv(2)
+    # mat(1, exact float for ids < 2^24).
+    w_b = (1.0 - u - v)[:, None]
+    u_b, v_b = u[:, None], v[:, None]
+    ns = (w_b * sp_local.n0.reshape(-1, 3)[six]
+          + u_b * sp_local.n1.reshape(-1, 3)[six]
+          + v_b * sp_local.n2.reshape(-1, 3)[six])
+    e1 = v1l - v0l
+    e2 = v2l - v0l
+    ng = jnp.cross(e1, e2)
+    t0l = sp_local.t0.reshape(-1, 2)[six]
+    duv1 = sp_local.t1.reshape(-1, 2)[six] - t0l
+    duv2 = sp_local.t2.reshape(-1, 2)[six] - t0l
+    uv = w_b * t0l + u_b * sp_local.t1.reshape(-1, 2)[six] \
+        + v_b * sp_local.t2.reshape(-1, 2)[six]
+    det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    rdet = jnp.where(jnp.abs(det_uv) < 1e-12, 0.0,
+                     1.0 / jnp.where(jnp.abs(det_uv) < 1e-12, 1.0,
+                                     det_uv))[:, None]
+    tang = (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * rdet
+    mat_f = sp_local.mat_id.reshape(-1)[six].astype(jnp.float32)
+    surf = jnp.concatenate(
+        [ns, ng, tang, uv, mat_f[:, None]], axis=-1)      # [r, 12]
+    surf = jnp.where(hitm[:, None], surf, 0.0)
+    return t_key, t, u, v, tri, surf
 
 
 def make_sharded_query(mesh: Mesh, any_hit: bool = False):
@@ -186,30 +259,32 @@ def make_sharded_query(mesh: Mesh, any_hit: bool = False):
     o/d/t_cap sharded over 'data' and results likewise; t/u/v are
     differentiable w.r.t. the vertex shards and the rays.
     """
-    packs_spec = ShardedPackets(
-        planes=P("model"), sb_lo=P("model"), sb_hi=P("model"),
-        block_lo=P("model"), block_hi=P("model"), orig=P("model"),
-        tv0=P("model"), tv1=P("model"), tv2=P("model"),
-        root_lo=P(), root_hi=P())
+    packs_spec = ShardedPackets(**{
+        f.name: (P() if f.name in ("root_lo", "root_hi")
+                 else P("model"))
+        for f in dataclasses.fields(ShardedPackets)})
 
     def local_fn(sp_local, o, d, t_cap):
-        t_key, t, u, v, tri = _local_query(sp_local, o, d, t_cap,
-                                           any_hit)
+        t_key, t, u, v, tri, surf = _local_query(sp_local, o, d, t_cap,
+                                                 any_hit)
         keys = jax.lax.all_gather(jax.lax.stop_gradient(t_key), "model")
         ts = jax.lax.all_gather(t, "model")        # [mp, r_local]
         us = jax.lax.all_gather(u, "model")
         vs = jax.lax.all_gather(v, "model")
         tris = jax.lax.all_gather(tri, "model")
+        surfs = jax.lax.all_gather(surf, "model")  # [mp, r_local, 12]
         # min-reduce over shards; on ties the lowest shard index wins
         # (deterministic); misses carry t_key == t_cap and tri == -1
         k = jnp.argmin(keys, axis=0)[None]
         pick = lambda a: jnp.take_along_axis(a, k, 0)[0]  # noqa: E731
-        return pick(ts), pick(us), pick(vs), pick(tris)
+        surf_w = jnp.take_along_axis(surfs, k[..., None], 0)[0]
+        return pick(ts), pick(us), pick(vs), pick(tris), surf_w
 
     return shard_map(
         local_fn, mesh=mesh,
         in_specs=(packs_spec, P("data"), P("data"), P("data")),
-        out_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data"), P("data"),
+                   P("data")),
         check_vma=False,
     )
 
@@ -219,38 +294,40 @@ def constrain_packets(sp: ShardedPackets, mesh: Mesh) -> ShardedPackets:
     packets built INSIDE a jitted computation (e.g. the train step's
     per-iteration rebuild): superblock axis over 'model', roots
     replicated."""
-    def c(x, spec):
+    def c(x, name):
+        spec = P() if name in ("root_lo", "root_hi") else P("model")
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, spec))
 
-    return ShardedPackets(
-        planes=c(sp.planes, P("model")),
-        sb_lo=c(sp.sb_lo, P("model")),
-        sb_hi=c(sp.sb_hi, P("model")),
-        block_lo=c(sp.block_lo, P("model")),
-        block_hi=c(sp.block_hi, P("model")),
-        orig=c(sp.orig, P("model")),
-        tv0=c(sp.tv0, P("model")),
-        tv1=c(sp.tv1, P("model")),
-        tv2=c(sp.tv2, P("model")),
-        root_lo=c(sp.root_lo, P()),
-        root_hi=c(sp.root_hi, P()),
-    )
+    return ShardedPackets(**{
+        f.name: c(getattr(sp, f.name), f.name)
+        for f in dataclasses.fields(sp)})
 
 
-def distribute_scene(scene, mesh: Mesh):
+def distribute_scene(scene, mesh: Mesh, shard_soup: bool = True):
     """Scene -> mesh-distributed Scene for ``intersector='pallas_sharded'``.
 
-    The packet structures (planes, AABBs, slot maps, re-eval vertices)
-    shard over 'model'; everything else (materials, lights, textures,
-    the attribute soup used for shading interpolation) replicates.
-    Per-device intersection memory is ~1/mp of the single-device
-    PacketSet (tests/test_parallel.py asserts it via
-    ``addressable_shards``).
+    The packet structures (planes, AABBs, slot maps, re-eval vertices
+    AND the slot-ordered shading attributes) shard over 'model';
+    materials/lights/textures (small) replicate.  With ``shard_soup``
+    (default) the replicated TriangleSoup is reduced to an 8-row husk —
+    the sharded query interpolates surfaces shard-locally and carries
+    them through the min-reduce, so nothing reads it — and per-device
+    TOTAL scene bytes scale ~1/mp (tests/test_parallel.py asserts via
+    ``addressable_shards``).  ``shard_soup=False`` keeps the full soup
+    replicated for flows that use it as host-side state (e.g. the
+    training loop, whose PARAMETERS are the vertex arrays).
     """
     mp = mesh.shape["model"]
-    sp = shard_packets(build_sharded_packets(scene.bvh, mp), mesh)
+    sp = shard_packets(
+        build_sharded_packets(scene.bvh, mp, soup=scene.triangles),
+        mesh)
     repl = NamedSharding(mesh, P())
+    if shard_soup:
+        husk = jax.tree_util.tree_map(
+            lambda x: jnp.zeros((8,) + x.shape[1:], x.dtype),
+            scene.triangles)
+        scene = dataclasses.replace(scene, triangles=husk)
     scene = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, repl),
         dataclasses.replace(scene, packets=None, bvh=None))
@@ -258,18 +335,29 @@ def distribute_scene(scene, mesh: Mesh):
 
 
 def sharded_intersect_closest(mesh: Mesh, sp: ShardedPackets, o, d,
-                              t_cap=None) -> Hit:
+                              t_cap=None, return_surface: bool = False):
     """Closest hit over the sharded scene — differentiable: each model
-    shard re-evaluates its own winners locally (no replicated soup)."""
+    shard re-evaluates its own winners locally (no replicated soup).
+
+    ``return_surface``: also return the carried shard-local surface
+    fields dict (ns/ng/tang/uv/mat_id) for replicated-soup-free
+    shading."""
     if t_cap is None:
         t_cap = jnp.full((o.shape[0],), INF_DIST)
     query = make_sharded_query(mesh, any_hit=False)
-    t, u, v, tri = query(sp, o, d, t_cap)
-    return Hit(t=t, tri=tri, u=u, v=v)
+    t, u, v, tri, surf = query(sp, o, d, t_cap)
+    hit = Hit(t=t, tri=tri, u=u, v=v)
+    if not return_surface:
+        return hit
+    carried = dict(
+        ns=surf[:, 0:3], ng=surf[:, 3:6], tang=surf[:, 6:9],
+        uv=surf[:, 9:11],
+        mat_id=surf[:, 11].astype(jnp.int32))
+    return hit, carried
 
 
 def sharded_occluded(mesh: Mesh, sp: ShardedPackets, o, d, t_max):
     sg = jax.lax.stop_gradient
     query = make_sharded_query(mesh, any_hit=True)
-    _, _, _, tri = query(sg(sp), sg(o), sg(d), sg(t_max))
+    _, _, _, tri, _ = query(sg(sp), sg(o), sg(d), sg(t_max))
     return tri >= 0

@@ -58,14 +58,20 @@ def _pallas_kwargs(cfg: RenderConfig, any_hit: bool) -> dict:
 
 
 def closest_hit(scene: Scene, o, d, cfg: RenderConfig,
-                t_cap=None, with_order: bool = False, order=None):
+                t_cap=None, with_order: bool = False, order=None,
+                with_surface: bool = False):
     """Dispatch to the configured intersector.  ``t_cap`` lets callers
     zero out lanes whose result is unused (dead-lane compaction; only
     the pallas path exploits it today).  ``with_order=True`` returns
     (hit, order) where ``order`` is the pallas path's coherence sort,
     reusable by the same bounce's shadow query (None elsewhere);
-    ``order`` passes a previous sort IN (cfg.reuse_bounce_order)."""
-    def ret(hit, order=None):
+    ``order`` passes a previous sort IN (cfg.reuse_bounce_order).
+    ``with_surface``: additionally return the sharded path's carried
+    surface-field dict (None on single-device paths, which gather from
+    the local soup instead)."""
+    def ret(hit, order=None, carried=None):
+        if with_order and with_surface:
+            return hit, order, carried
         return (hit, order) if with_order else hit
 
     if cfg.intersector == "brute":
@@ -99,8 +105,10 @@ def closest_hit(scene: Scene, o, d, cfg: RenderConfig,
         if cfg.mesh is None:
             raise ValueError("intersector='pallas_sharded' needs "
                              "cfg.mesh (jax.sharding.Mesh)")
-        return ret(sharded_intersect_closest(cfg.mesh, scene.packets,
-                                             o, d, t_cap=t_cap))
+        hit, carried = sharded_intersect_closest(
+            cfg.mesh, scene.packets, o, d, t_cap=t_cap,
+            return_surface=True)
+        return ret(hit, carried=carried)
     raise ValueError(f"unknown intersector {cfg.intersector!r}")
 
 
@@ -137,46 +145,64 @@ def occluded(scene: Scene, o, d, t_max, cfg: RenderConfig, order=None):
 
 
 def _interpolate_surface(scene: Scene, hit: Hit, d,
-                         cfg: RenderConfig | None = None):
+                         cfg: RenderConfig | None = None,
+                         carried: dict | None = None):
     """Gather + interpolate triangle attributes at the hit point.
 
     The analog of ``interpolateMeshData`` (``directTraverse.comp:116-180``)
     and the material resolve of ``surface.comp:102-195``.
     Returns dict of per-ray surface fields (garbage where hit.missed —
     callers mask).
+
+    ``carried``: shard-local interpolated fields from the sharded
+    query's min-reduce payload (ns/ng/tang/uv/mat_id) — used instead
+    of gathering from scene.triangles, which under
+    ``distribute_scene(shard_soup=True)`` is only a husk.
     """
     if cfg is not None and cfg.texture_filter == "bicubic":
         from prismarine_core_tpu.models.textures import sample_bicubic
         sample_tex = sample_bicubic
     else:
         sample_tex = sample_bilinear
-    tri = jnp.maximum(hit.tri, 0)
-    soup = scene.triangles
-    w = (1.0 - hit.u - hit.v)[:, None]
-    uu = hit.u[:, None]
-    vv = hit.v[:, None]
+    if carried is not None:
+        ng = pm.normalize(carried["ng"])
+        ns = pm.normalize(carried["ns"])
+        ns = jnp.where(jnp.isfinite(ns).all(-1, keepdims=True), ns, ng)
+        uv = carried["uv"]
+        mat = scene.materials.lookup(carried["mat_id"])
+        tang = pm.normalize(carried["tang"])
+        tang = jnp.where(jnp.isfinite(tang).all(-1, keepdims=True),
+                         tang, 0.0)
+    else:
+        tri = jnp.maximum(hit.tri, 0)
+        soup = scene.triangles
+        w = (1.0 - hit.u - hit.v)[:, None]
+        uu = hit.u[:, None]
+        vv = hit.v[:, None]
 
-    ns = pm.normalize(w * soup.n0[tri] + uu * soup.n1[tri]
-                      + vv * soup.n2[tri])
-    ng = pm.normalize(jnp.cross(soup.v1[tri] - soup.v0[tri],
-                                soup.v2[tri] - soup.v0[tri]))
-    # Use the geometric normal where shading normals are degenerate.
-    ns = jnp.where(jnp.isfinite(ns).all(-1, keepdims=True), ns, ng)
-    uv = w * soup.t0[tri] + uu * soup.t1[tri] + vv * soup.t2[tri]
+        ns = pm.normalize(w * soup.n0[tri] + uu * soup.n1[tri]
+                          + vv * soup.n2[tri])
+        ng = pm.normalize(jnp.cross(soup.v1[tri] - soup.v0[tri],
+                                    soup.v2[tri] - soup.v0[tri]))
+        # Use the geometric normal where shading normals are degenerate.
+        ns = jnp.where(jnp.isfinite(ns).all(-1, keepdims=True), ns, ng)
+        uv = w * soup.t0[tri] + uu * soup.t1[tri] + vv * soup.t2[tri]
 
-    mat = scene.materials.lookup(soup.mat_id[tri])
+        mat = scene.materials.lookup(soup.mat_id[tri])
+
+        e1 = soup.v1[tri] - soup.v0[tri]
+        e2 = soup.v2[tri] - soup.v0[tri]
+        duv1 = soup.t1[tri] - soup.t0[tri]
+        duv2 = soup.t2[tri] - soup.t0[tri]
+        det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+        rdet = pm.safe_rcp(det_uv)[:, None]
+        tang = pm.normalize(
+            (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * rdet)
 
     # Tangent-space normal mapping (surface.comp:121-163): perturb the
     # interpolated normal by the bump texture where one is bound.
     has_btex = mat.tex_bump >= 0
     btex = sample_tex(scene.textures, mat.tex_bump, uv)
-    e1 = soup.v1[tri] - soup.v0[tri]
-    e2 = soup.v2[tri] - soup.v0[tri]
-    duv1 = soup.t1[tri] - soup.t0[tri]
-    duv2 = soup.t2[tri] - soup.t0[tri]
-    det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
-    rdet = pm.safe_rcp(det_uv)[:, None]
-    tang = pm.normalize((e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * rdet)
     bitan = jnp.cross(ns, tang)
     nt = btex[:, :3] * 2.0 - 1.0
     n_mapped = pm.normalize(
@@ -299,8 +325,10 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig,
     def step(carry, u):
         o, d, beta, radiance, alive, prev_pdf = carry
         t_cap = jnp.where(alive, INF_DIST, 0.0)
-        hit, order = closest_hit(scene, o, d, cfg, t_cap=t_cap,
-                                 with_order=True, order=fixed_order)
+        hit, order, carried = closest_hit(scene, o, d, cfg, t_cap=t_cap,
+                                          with_order=True,
+                                          order=fixed_order,
+                                          with_surface=True)
 
         miss = alive & hit.missed
         env = scene.environment.sample(d)
@@ -316,7 +344,7 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig,
         radiance = radiance + jnp.where(miss[:, None], beta * env, 0.0)
 
         on_surf = alive & ~hit.missed
-        surf = _interpolate_surface(scene, hit, d, cfg)
+        surf = _interpolate_surface(scene, hit, d, cfg, carried=carried)
         p = o + hit.t[:, None] * d
         n = pm.faceforward(surf["shading_normal"], d)
 
