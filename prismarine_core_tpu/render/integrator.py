@@ -105,10 +105,10 @@ def closest_hit(scene: Scene, o, d, cfg: RenderConfig,
         if cfg.mesh is None:
             raise ValueError("intersector='pallas_sharded' needs "
                              "cfg.mesh (jax.sharding.Mesh)")
-        hit, carried = sharded_intersect_closest(
+        hit, carried, s_order = sharded_intersect_closest(
             cfg.mesh, scene.packets, o, d, t_cap=t_cap,
-            return_surface=True)
-        return ret(hit, carried=carried)
+            return_surface=True, return_order=True)
+        return ret(hit, order=s_order, carried=carried)
     raise ValueError(f"unknown intersector {cfg.intersector!r}")
 
 
@@ -140,7 +140,8 @@ def occluded(scene: Scene, o, d, t_max, cfg: RenderConfig, order=None):
     elif cfg.intersector == "pallas_sharded":
         from prismarine_core_tpu.parallel.shard_intersect import (
             sharded_occluded)
-        return sharded_occluded(cfg.mesh, scene.packets, o, d, t_max)
+        return sharded_occluded(cfg.mesh, scene.packets, o, d, t_max,
+                                order=order)
     raise ValueError(f"unknown intersector {cfg.intersector!r}")
 
 
