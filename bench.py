@@ -103,7 +103,8 @@ def main():
     # sampling variant is reported to stderr for comparison.
     cfg = RenderConfig(width=1280, height=720, spp=1, max_bounces=4,
                        intersector="pallas", bvh_leaf_size=4,
-                       coherent_bounce_sampling=True)
+                       coherent_bounce_sampling=True,
+                       pairs_per_step=8, stale_round_masks=True)
     scene = make_hall_scene(target_tris=n_tris)
     scene = dataclasses.replace(
         scene, environment=make_sky_environment(resolution=128))
@@ -123,7 +124,8 @@ def main():
                                         coherent_bounce_sampling=False))
         # BASELINE config 2: teapot-class object at 512^2
         tcfg = RenderConfig(width=512, height=512, spp=1, max_bounces=4,
-                            intersector="pallas")
+                            intersector="pallas", pairs_per_step=8,
+                            stale_round_masks=True)
         tscene = jax.device_put(make_teapot_scene())
         tcam = Camera.look_at(eye=(5.0, 3.2, 6.0), target=(0.0, 1.0, 0.0),
                               fov_y_deg=45.0)

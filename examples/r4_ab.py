@@ -46,6 +46,15 @@ VARIANTS = {
                       max_bounces=1),
     "decomp-b2": dict(stale_round_masks=True, pairs_per_step=8,
                       max_bounces=2),
+    # strategy/block sweeps at the pps8 config
+    "r4-pps8-rounds16": dict(stale_round_masks=True, pairs_per_step=8,
+                             closest_strategy="rounds", closest_k=16),
+    "r4-pps8-rounds8": dict(stale_round_masks=True, pairs_per_step=8,
+                            closest_strategy="rounds", closest_k=8),
+    "r4-pps8-block32": dict(stale_round_masks=True, pairs_per_step=8,
+                            _block=(32, 32)),
+    "r4-pps8-block64": dict(stale_round_masks=True, pairs_per_step=8,
+                            _block=(64, 64)),
 }
 
 
@@ -54,9 +63,11 @@ def run_variant(name, scene, camera, cfg0, n_frames=3):
 
     from prismarine_core_tpu.ops.sampling import make_coherent_sample_arrays
     from prismarine_core_tpu.render.integrator import render_with_samples
-    cfg = dataclasses.replace(cfg0, **VARIANTS[name])
+    opts = dict(VARIANTS[name])
+    block = opts.pop("_block", (16, 16))
+    cfg = dataclasses.replace(cfg0, **opts)
     cam_s, bounce_s = make_coherent_sample_arrays(
-        _jax.random.key(0), cfg, block=(16, 16))
+        _jax.random.key(0), cfg, block=block)
     t0 = time.perf_counter()
     img, stats = render_with_samples(scene, camera, cfg, cam_s, bounce_s,
                                      with_stats=True)

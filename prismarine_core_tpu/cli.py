@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--strategy-k", type=int, default=0,
                    help="per-round superblock budget K for the "
                         "two_round/rounds strategies (0 = default 8)")
+    p.add_argument("--pairs-per-step", type=int, default=8,
+                   help="same-tile pairs per kernel grid step "
+                        "(fixed-cost amortization; the bench runs 8)")
+    p.add_argument("--stale-round-masks", action="store_true",
+                   help="keep round-0 block masks across any-hit "
+                        "rounds (faster for coherent workloads)")
     return p
 
 
@@ -143,7 +149,9 @@ def main(argv=None) -> int:
                        sort_mode=args.sort_mode,
                        cull_impl=args.cull_impl,
                        closest_strategy=args.strategy,
-                       closest_k=args.strategy_k)
+                       closest_k=args.strategy_k,
+                       pairs_per_step=args.pairs_per_step,
+                       stale_round_masks=args.stale_round_masks)
 
     renderer = ProgressiveRenderer(scene, camera, cfg, seed=args.seed)
     t0 = time.perf_counter()
