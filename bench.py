@@ -42,8 +42,10 @@ def _run_config(name, scene, camera, cfg, n_frames=3):
     from prismarine_core_tpu.render.integrator import render_with_samples
 
     if cfg.coherent_bounce_sampling:
+        # 64x64 blocks: fastest AND lowest equal-wall-clock MSE of the
+        # r4 sweep (PERF.md round-4 items 6/8)
         cam_s, bounce_s = make_coherent_sample_arrays(
-            jax.random.key(0), cfg, block=(16, 16))
+            jax.random.key(0), cfg, block=(64, 64))
     else:
         cam_s, bounce_s = make_sample_arrays(
             jax.random.key(0), cfg.n_rays, cfg.max_bounces)

@@ -32,6 +32,7 @@ def main():
 
     budget_s = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
     n_ref = int(sys.argv[2]) if len(sys.argv) > 2 else 160
+    blk = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
     cfg = RenderConfig(width=640, height=360, spp=1, max_bounces=4,
                        intersector="pallas", bvh_leaf_size=4,
@@ -43,13 +44,13 @@ def main():
     camera = Camera.look_at(eye=(-10.0, 2.2, 0.0), target=(6.0, 1.6, 0.0),
                             fov_y_deg=60.0)
     print(f"[qab] devices={jax.devices()} budget={budget_s}s "
-          f"ref_frames={n_ref}", flush=True)
+          f"ref_frames={n_ref} block={blk}", flush=True)
 
     def frame(mode, key):
         if mode == "coherent":
             c = dataclasses.replace(cfg, coherent_bounce_sampling=True)
             cam_s, bounce_s = make_coherent_sample_arrays(key, c,
-                                                          block=(16, 16))
+                                                          block=(blk, blk))
         else:
             c = cfg
             cam_s, bounce_s = make_sample_arrays(key, c.n_rays,

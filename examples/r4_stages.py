@@ -45,6 +45,9 @@ def timeit(fn, *args, n=3, label=""):
 
 def main():
     n_tris = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    mult = 1
+    if "--mult" in sys.argv:
+        mult = int(sys.argv[sys.argv.index("--mult") + 1])
     cfg = RenderConfig(width=1280, height=720, spp=1, max_bounces=4,
                        intersector="pallas", bvh_leaf_size=4)
     scene = jax.device_put(make_hall_scene(target_tris=n_tris))
@@ -58,6 +61,10 @@ def main():
           f"rays={cfg.n_rays}", flush=True)
 
     o, d = generate_rays(camera, cfg, cam_s)
+    if mult > 1:          # spp-style ray-count scaling diagnosis
+        o = jnp.tile(o, (mult, 1))
+        d = jnp.tile(d, (mult, 1))
+        print(f"rays x{mult} = {o.shape[0]}", flush=True)
     t_cap = jnp.full((o.shape[0],), INF_DIST)
     key = jax.random.key(1)
     hit_p = o + jax.random.uniform(key, (o.shape[0], 1), minval=2.0,
