@@ -59,7 +59,8 @@ def main():
                            intersector="bvh")
     else:
         cfg = RenderConfig(width=1280, height=720, spp=1, max_bounces=4,
-                           intersector="pallas")
+                           intersector="pallas", pairs_per_step=8,
+                           stale_round_masks=True)
     scene = make_hall_scene(target_tris=n_tris)
     camera = Camera.look_at(eye=(-10.0, 2.2, 0.0), target=(6.0, 1.6, 0.0),
                             fov_y_deg=60.0)
@@ -76,8 +77,8 @@ def main():
     _, stats = render_with_samples(scene, camera, cfg, cam_s, bounce_s,
                                    with_stats=True)
     stats = np.asarray(stats)
-    rays = int(stats[:, 0].sum() + stats[:, 4].sum()) * cfg.spp
-    live_frac = rays / (cfg.n_rays * cfg.max_bounces * 2 * cfg.spp)
+    rays = int(stats[:, 0].sum() + stats[:, 4].sum())
+    live_frac = rays / (cfg.n_rays * cfg.max_bounces * 2)
     print(f"[scaling] live rays/frame: {rays:,} "
           f"({live_frac:.0%} of nominal)", file=sys.stderr)
 

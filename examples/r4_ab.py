@@ -55,6 +55,18 @@ VARIANTS = {
                             _block=(32, 32)),
     "r4-pps8-block64": dict(stale_round_masks=True, pairs_per_step=8,
                             _block=(64, 64)),
+    # round-1 threshold selection + kernel-window sweep on the b64 base
+    "b64-near25": dict(stale_round_masks=True, pairs_per_step=8,
+                       _block=(64, 64), near_frac=0.25),
+    "b64-near40": dict(stale_round_masks=True, pairs_per_step=8,
+                       _block=(64, 64), near_frac=0.4),
+    "b64-near60": dict(stale_round_masks=True, pairs_per_step=8,
+                       _block=(64, 64), near_frac=0.6),
+    "b64-win4096": dict(stale_round_masks=True, pairs_per_step=8,
+                        _block=(64, 64), kernel_window=4096),
+    "b64-near40-win4096": dict(stale_round_masks=True, pairs_per_step=8,
+                               _block=(64, 64), near_frac=0.4,
+                               kernel_window=4096),
 }
 
 

@@ -774,6 +774,7 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
                        recull: str = "sb",
                        stale_round_masks: bool = False,
                        pairs_per_step: int = 1,
+                       near_frac: float = 0.0,
                        cull_chunk: int = 1024):
     """Pallas fast path: sort+tile rays, dense block-granular cull,
     front-to-back pair execution, unsort.  Returns (t, slot, order).
@@ -885,11 +886,29 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
                           ps.planes, nt, nsb, window,
                           pairs_per_step=pps)
     elif strategy == "two_round":
-        # ---- round 1: K nearest candidate superblocks per tile ----
+        # ---- round 1: nearest candidate superblocks per tile ----
         tn_cand = jnp.where(sb_mask, sb_tn, INF_DIST)
-        neg_tn, cand = jax.lax.top_k(-tn_cand, k_first)   # [nt, K]
-        cand_ok = -neg_tn < INF_DIST
-        pt1, psb1, pm1, np1 = compact_topk(cand, cand_ok, tct, mask8)
+        if near_frac > 0.0 and mask8 is not None:
+            # THRESHOLD selection: superblocks whose entry distance is
+            # within near_frac of the tile's candidate range run first
+            # (two row reduces instead of a ~41 ms top_k; measured a
+            # wash on the hall bench — kept as a knob)
+            tmin = jnp.min(tn_cand, axis=1, keepdims=True)
+            tmax = jnp.max(jnp.where(sb_mask, sb_tn, -INF_DIST),
+                           axis=1, keepdims=True)
+            thr = tmin + jnp.float32(near_frac) * jnp.maximum(
+                tmax - tmin, 0.0)
+            executed = sb_mask & (sb_tn <= thr)
+            pt1, psb1, pm1, np1 = compact_dense(executed, tct, mask8,
+                                                n_live)
+        else:
+            neg_tn, cand = jax.lax.top_k(-tn_cand, k_first)  # [nt, K]
+            cand_ok = -neg_tn < INF_DIST
+            pt1, psb1, pm1, np1 = compact_topk(cand, cand_ok, tct,
+                                               mask8)
+            executed = jnp.zeros((nt, nsb + 1), bool).at[
+                jnp.arange(nt, dtype=jnp.int32)[:, None],
+                jnp.where(cand_ok, cand, nsb)].set(True)[:, :nsb]
         out = _run_kernel(pt1, psb1, pm1, np1, rays, ps.planes,
                           nt, nsb, window, pairs_per_step=pps)
 
@@ -902,9 +921,6 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
             tct2 = jnp.where(slot1 >= 0, 0.0, tct)        # done lanes out
         else:
             tct2 = jnp.minimum(tct, best1)
-        executed = jnp.zeros((nt, nsb + 1), bool).at[
-            jnp.arange(nt, dtype=jnp.int32)[:, None],
-            jnp.where(cand_ok, cand, nsb)].set(True)[:, :nsb]
         n_live2 = _live_tile_bound(tct2)
         if use_pallas_cull:
             if recull == "kernel":

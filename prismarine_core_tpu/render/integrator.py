@@ -47,7 +47,9 @@ def _pallas_kwargs(cfg: RenderConfig, any_hit: bool) -> dict:
     kw = dict(cull_impl=cfg.cull_impl, sort_mode=cfg.sort_mode,
               recull=cfg.recull,
               stale_round_masks=cfg.stale_round_masks,
-              pairs_per_step=cfg.pairs_per_step)
+              pairs_per_step=cfg.pairs_per_step,
+              near_frac=cfg.near_frac,
+              window=cfg.kernel_window)
     strat = cfg.anyhit_strategy if any_hit else cfg.closest_strategy
     k = cfg.anyhit_k if any_hit else cfg.closest_k
     if strat:

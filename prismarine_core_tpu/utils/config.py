@@ -119,6 +119,14 @@ class RenderConfig:
     #: (True wins when queries finish in a round or two — coherent;
     #: False measured far better for incoherent any-hit)
     stale_round_masks: bool = False
+    #: two_round round-1 selection: 0 = K-nearest top_k; > 0 = run all
+    #: candidates within this fraction of the tile's entry-distance
+    #: range first (two cheap row reduces instead of a ~41 ms
+    #: [nt, nsb] top_k; adaptive per-tile round sizes)
+    near_frac: float = 0.0
+    #: fused-kernel pair-window length (pairs per pallas_call in the
+    #: while_loop; cost adapts to the scene via the loop trip count)
+    kernel_window: int = 1024
     #: consecutive same-tile pairs executed per kernel grid step
     #: (pallas-cull path only): amortizes the fixed per-step cost
     #: (0.3-0.56 us/pair measured r3) at the price of tile-aligned

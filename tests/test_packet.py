@@ -229,3 +229,19 @@ def test_pairs_per_step_bit_identical(pps):
                                    pairs_per_step=pps)
     np.testing.assert_array_equal(np.asarray(spa) >= 0,
                                   np.asarray(s1a) >= 0)
+
+
+def test_near_frac_round1_matches_brute():
+    """Threshold-based round-1 selection (near_frac) must keep exact
+    closest-hit results (it only changes execution ORDER)."""
+    from prismarine_core_tpu.accel.packet import intersect_closest_pallas
+    soup = _random_soup(800, capacity=1024, seed=51)
+    bvh = build_bvh(soup, leaf_size=4)
+    ps = build_packet_set(bvh)
+    o, d = _rand_rays(1024, seed=52)
+    hb = intersect_closest_brute(soup, o, d, block=64)
+    for nf in (0.25, 0.5):
+        hp = intersect_closest_pallas(bvh, ps, soup, o, d,
+                                      near_frac=nf, pairs_per_step=4)
+        np.testing.assert_array_equal(np.asarray(hp.tri),
+                                      np.asarray(hb.tri))
