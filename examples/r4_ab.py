@@ -67,6 +67,18 @@ VARIANTS = {
     "b64-near40-win4096": dict(stale_round_masks=True, pairs_per_step=8,
                                _block=(64, 64), near_frac=0.4,
                                kernel_window=4096),
+    "b64-reuse": dict(stale_round_masks=True, pairs_per_step=8,
+                      _block=(64, 64), reuse_bounce_order=True),
+    "b64-k4": dict(stale_round_masks=True, pairs_per_step=8,
+                   _block=(64, 64), closest_k=4),
+    "b64-k12": dict(stale_round_masks=True, pairs_per_step=8,
+                    _block=(64, 64), closest_k=12),
+    "b64-anyk16": dict(stale_round_masks=True, pairs_per_step=8,
+                       _block=(64, 64), anyhit_k=16),
+    "b64-anyk24": dict(stale_round_masks=True, pairs_per_step=8,
+                       _block=(64, 64), anyhit_k=24),
+    "b64-anyk32": dict(stale_round_masks=True, pairs_per_step=8,
+                       _block=(64, 64), anyhit_k=32),
 }
 
 

@@ -9,21 +9,29 @@ re-shaped for the VPU:
 1. rays sort by (direction octant, origin Morton, direction Morton) and
    group into TILES of 128 contiguous rays (the analog of the reference's
    optional ray sorting, ``Pipeline.hpp:101``, taken to its logical end);
+   the kernel ray matrix is built unsorted and permuted with ONE
+   64-byte-row gather (``_sorted_rays_matrix``, a measured 7% of the
+   round-3 frame);
 2. triangles are already Morton-sorted by the BVH build; consecutive runs
    of 128 slots form BLOCKS and runs of SB=8 blocks form SUPERBLOCKS with
    precomputed AABBs (two coarse levels of the same implicit tree);
-3. an exact dense cull slab-tests every ray against every *superblock*
-   (nb/8 columns) and OR-reduces per tile — O(R * nsb), an order cheaper
-   than the r1 per-ray x per-block cull;
-4. surviving (tile, superblock) pairs execute FRONT-TO-BACK through
-   the fused Pallas kernel (ops/pallas_intersect.py) under one of two
-   strategies (``_run_packet_pallas``): "two_round" for closest-hit
-   (K nearest superblocks per tile, then one exact re-cull of the rest
-   against the tightened per-ray caps) and "rounds" for any-hit
-   (fully ordered K-at-a-time rounds with exact cap-based exit);
-   per-pair 8-bit block masks predicate the in-kernel work;
+3. the dense cull runs at BLOCK granularity in a Pallas kernel
+   (ops/pallas_cull.py): per-(tile, block) entry distances in one
+   pass, from which superblock candidates, front-to-back bounds AND
+   the per-pair 8-bit block masks all derive (the round-3 XLA
+   superblock scan + separate windowed mask stage remain as the
+   ``cull_impl="xla"`` fallback);
+4. surviving (tile, superblock) pairs compact via ONE windowed packed
+   scatter bounded by the live-tile prefix (masks ride along as code
+   bits) and execute FRONT-TO-BACK through the fused Pallas kernel
+   (ops/pallas_intersect.py) under one of two strategies
+   (``_run_packet_pallas``): "two_round" for closest-hit (K nearest
+   superblocks per tile, then one per-ray re-cull of the rest against
+   the tightened caps) and "rounds" for any-hit (fully ordered
+   K-at-a-time rounds with exact cap-based exit); ``pairs_per_step``
+   consecutive same-tile pairs share each kernel grid step;
 5. per-ray closest hits fold across pairs in the kernel's VMEM
-   accumulator (deferred argmin: one cross-lane reduction per pair),
+   accumulator (deferred argmin: one cross-lane reduction per step),
    then unsort.
 
 Every memory access is a contiguous 128-row slice; all hot math is dense

@@ -47,27 +47,24 @@ from prismarine_core_tpu.utils.config import INF_DIST
 _BOX_ROWS = 8   # lo_x lo_y lo_z hi_x hi_y hi_z pad pad
 
 
-def _cull_kernel(n_live,                 # SMEM i32[1]
+def _cull_kernel(packed, n_live,         # SMEM i32[1]
                  ray_ref,                # [TILE, RAY_COLS]
-                 box_ref,                # [_BOX_ROWS, CHUNK]
+                 box_ref,                # [_BOX_ROWS, CHUNK or 8*CHUNK]
                  out_ref):               # [1, 8, CHUNK]
     i = pl.program_id(0)
+    chunk = out_ref.shape[2]
 
-    @pl.when(i < n_live[0])
-    def _live():
-        def rcol(c):
-            return ray_ref[:, c][:, None]
+    def rcol(c):
+        return ray_ref[:, c][:, None]
 
-        def brow(r):
-            return box_ref[r, :][None, :]
-
+    def slab_row(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z):
         tc = rcol(RC_TCAP)
-        t0x = (brow(0) - rcol(RC_OX)) * rcol(RC_IVX)
-        t1x = (brow(3) - rcol(RC_OX)) * rcol(RC_IVX)
-        t0y = (brow(1) - rcol(RC_OY)) * rcol(RC_IVY)
-        t1y = (brow(4) - rcol(RC_OY)) * rcol(RC_IVY)
-        t0z = (brow(2) - rcol(RC_OZ)) * rcol(RC_IVZ)
-        t1z = (brow(5) - rcol(RC_OZ)) * rcol(RC_IVZ)
+        t0x = (lo_x - rcol(RC_OX)) * rcol(RC_IVX)
+        t1x = (hi_x - rcol(RC_OX)) * rcol(RC_IVX)
+        t0y = (lo_y - rcol(RC_OY)) * rcol(RC_IVY)
+        t1y = (hi_y - rcol(RC_OY)) * rcol(RC_IVY)
+        t0z = (lo_z - rcol(RC_OZ)) * rcol(RC_IVZ)
+        t1z = (hi_z - rcol(RC_OZ)) * rcol(RC_IVZ)
         tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                      jnp.minimum(t0y, t1y)),
                          jnp.minimum(t0z, t1z))
@@ -79,11 +76,27 @@ def _cull_kernel(n_live,                 # SMEM i32[1]
         # tc > 0 term keeps dead lanes from listing boxes their origin
         # happens to sit inside
         hit = (tf >= tn0) & (tn <= tc) & (tc > 0.0)
-        tnc = jnp.where(hit, tn0, INF_DIST)
-        # Mosaic needs a sublane-multiple output block: broadcast the
-        # reduced row across the 8-row block (the caller reads row 0)
-        out_ref[0, :, :] = jnp.broadcast_to(
-            jnp.min(tnc, axis=0)[None, :], out_ref.shape[1:])
+        return jnp.min(jnp.where(hit, tn0, INF_DIST), axis=0)
+
+    @pl.when(i < n_live[0])
+    def _live():
+        if packed:
+            # 8 block chunks per step, one output row each: the write
+            # stays sublane-legal WITHOUT the 8x row broadcast (the
+            # broadcast layout wrote nt*8*nb floats — 1.9 GB at 3.7M
+            # rays; packed writes exactly nt*nb)
+            for r in range(8):
+                def brow(rr, r=r):
+                    return box_ref[rr, r * chunk:(r + 1) * chunk][None, :]
+                out_ref[0, r, :] = slab_row(brow(0), brow(1), brow(2),
+                                            brow(3), brow(4), brow(5))
+        else:
+            def brow(rr):
+                return box_ref[rr, :][None, :]
+            row = slab_row(brow(0), brow(1), brow(2),
+                           brow(3), brow(4), brow(5))
+            out_ref[0, :, :] = jnp.broadcast_to(row[None, :],
+                                                out_ref.shape[1:])
 
     @pl.when(i >= n_live[0])
     def _dead():
@@ -109,15 +122,19 @@ def pallas_block_cull(rays,      # f32[(nt+1)*TILE, RAY_COLS]
     chunk = min(chunk - chunk % 128 or 128, nb_pad)
     while nb_pad % chunk:
         chunk -= 128
+    # packed layout: 8 block chunks per step -> exactly nt*nb floats
+    # written; needs nb_pad divisible into 8-chunk groups (small scenes
+    # fall back to the 8x-broadcast row layout)
+    packed = nb_pad % (8 * chunk) == 0 and nb_pad >= 8 * 128
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nt, nb_pad // chunk),
+        grid=(nt, nb_pad // ((8 if packed else 1) * chunk)),
         in_specs=[
             pl.BlockSpec((TILE, RAY_COLS),
                          lambda i, c, nl: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BOX_ROWS, chunk),
+            pl.BlockSpec((_BOX_ROWS, (8 if packed else 1) * chunk),
                          lambda i, c, nl: (0, c),
                          memory_space=pltpu.VMEM),
         ],
@@ -125,13 +142,20 @@ def pallas_block_cull(rays,      # f32[(nt+1)*TILE, RAY_COLS]
                                lambda i, c, nl: (i, 0, c),
                                memory_space=pltpu.VMEM),
     )
+    out_cols = nb_pad // 8 if packed else nb_pad
     call = pl.pallas_call(
-        _cull_kernel,
+        partial(_cull_kernel, packed),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nt, 8, nb_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nt, 8, out_cols), jnp.float32),
         interpret=jax.default_backend() == "cpu",
     )
-    return call(jnp.asarray([n_live], jnp.int32), rays, box_rows)[:, 0, :]
+    out = call(jnp.asarray([n_live], jnp.int32), rays, box_rows)
+    if not packed:
+        return out[:, 0, :]
+    # un-permute [i, r, c*chunk+l] -> block id c*8*chunk + r*chunk + l
+    ngr = nb_pad // (8 * chunk)
+    return out.reshape(nt, 8, ngr, chunk).transpose(0, 2, 1, 3
+                                                    ).reshape(nt, nb_pad)
 
 
 def box_rows_from_blocks(block_lo, block_hi):

@@ -8,11 +8,11 @@ dense batched work: one 128-ray tile against one 8-block superblock
 
 Scheduling (see accel/packet.py for the producer):
 
-  * the caller culls rays against SUPERBLOCK AABBs (dense exact
-    OR-per-tile), compacts (tile, superblock) pairs tile-major, and
-    refines each pair to an 8-bit per-block mask in a windowed XLA pass
-    — no scatters anywhere (the r1 pipeline's ~15M-element quad-list
-    scatters were its hottest stage at 173 ms/query on a v5e);
+  * the caller culls rays at BLOCK granularity (ops/pallas_cull.py;
+    superblock candidates and the per-pair 8-bit block masks fall out
+    of one pass) and compacts (tile, superblock) pairs tile-major with
+    one windowed packed scatter — the r1 pipeline's ~15M-element
+    quad-list scatters were its hottest stage at 173 ms/query;
   * per grid step, BlockSpec index maps pull the superblock's triangle
     planes (one contiguous 64 KB DMA, double-buffered by Mosaic)
     straight from HBM via the scalar-prefetched pair list;

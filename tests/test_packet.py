@@ -245,3 +245,49 @@ def test_near_frac_round1_matches_brute():
                                       near_frac=nf, pairs_per_step=4)
         np.testing.assert_array_equal(np.asarray(hp.tri),
                                       np.asarray(hb.tri))
+
+
+def test_pallas_cull_packed_layout_matches_reference():
+    """The packed cull output layout (8 block chunks per grid step,
+    nb >= 1024) must produce the same per-(tile, block) entry
+    distances as a numpy slab reference; small scenes use the
+    broadcast fallback, so this synthesizes a 1024-block box table."""
+    from prismarine_core_tpu.ops.pallas_cull import pallas_block_cull
+    from prismarine_core_tpu.ops.pallas_intersect import RAY_COLS
+    from prismarine_core_tpu.utils.config import INF_DIST
+
+    rng = np.random.default_rng(71)
+    nb = 1024                      # blocks (>= 8*128 -> packed layout)
+    lo = rng.uniform(-10, 9, (nb, 3)).astype(np.float32)
+    hi = lo + rng.uniform(0.1, 1.5, (nb, 3)).astype(np.float32)
+    box_rows = jnp.asarray(
+        np.concatenate([lo.T, hi.T, np.zeros((2, nb), np.float32)]))
+
+    nt = 2
+    o = rng.uniform(-12, 12, (nt * 128, 3)).astype(np.float32)
+    d = rng.normal(size=(nt * 128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tc = np.where(rng.random(nt * 128) < 0.8, 25.0, 0.0).astype(
+        np.float32)
+    inv = 1.0 / np.where(np.abs(d) < 1e-12,
+                         np.where(d < 0, -1e-12, 1e-12), d)
+    rays = np.zeros(((nt + 1) * 128, RAY_COLS), np.float32)
+    rays[:nt * 128, 0:3] = o
+    rays[:nt * 128, 3:6] = d
+    rays[:nt * 128, 6] = tc
+    rays[:nt * 128, 8:11] = inv
+
+    got = np.asarray(pallas_block_cull(jnp.asarray(rays), box_rows,
+                                       jnp.int32(nt)))
+    assert got.shape == (nt, nb)
+
+    # numpy reference
+    t0 = (lo[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    t1 = (hi[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    tn = np.minimum(t0, t1).max(-1)
+    tf = np.maximum(t0, t1).min(-1)
+    tn0 = np.maximum(tn, 0.0)
+    hit = (tf >= tn0) & (tn <= tc[:, None]) & (tc[:, None] > 0)
+    tnc = np.where(hit, tn0, INF_DIST)
+    ref = tnc.reshape(nt, 128, nb).min(axis=1)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
