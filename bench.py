@@ -106,7 +106,8 @@ def main():
     cfg = RenderConfig(width=1280, height=720, spp=1, max_bounces=4,
                        intersector="pallas", bvh_leaf_size=4,
                        coherent_bounce_sampling=True,
-                       pairs_per_step=8, stale_round_masks=True)
+                       pairs_per_step=8, stale_round_masks=True,
+                       anyhit_strategy="single")
     scene = make_hall_scene(target_tris=n_tris)
     scene = dataclasses.replace(
         scene, environment=make_sky_environment(resolution=128))
@@ -127,7 +128,8 @@ def main():
         # BASELINE config 2: teapot-class object at 512^2
         tcfg = RenderConfig(width=512, height=512, spp=1, max_bounces=4,
                             intersector="pallas", pairs_per_step=8,
-                            stale_round_masks=True)
+                            stale_round_masks=True,
+                            anyhit_strategy="single")
         tscene = jax.device_put(make_teapot_scene())
         tcam = Camera.look_at(eye=(5.0, 3.2, 6.0), target=(0.0, 1.0, 0.0),
                               fov_y_deg=45.0)

@@ -79,6 +79,21 @@ VARIANTS = {
                        _block=(64, 64), anyhit_k=24),
     "b64-anyk32": dict(stale_round_masks=True, pairs_per_step=8,
                        _block=(64, 64), anyhit_k=32),
+    "b64-anyk64": dict(stale_round_masks=True, pairs_per_step=8,
+                       _block=(64, 64), anyhit_k=64),
+    "b64-any2r": dict(stale_round_masks=True, pairs_per_step=8,
+                      _block=(64, 64), anyhit_strategy="two_round",
+                      anyhit_k=16),
+    "b64-anysingle": dict(stale_round_masks=True, pairs_per_step=8,
+                          _block=(64, 64), anyhit_strategy="single"),
+    "b128-anysingle": dict(stale_round_masks=True, pairs_per_step=8,
+                           _block=(128, 128),
+                           anyhit_strategy="single"),
+    "b96-anysingle": dict(stale_round_masks=True, pairs_per_step=8,
+                          _block=(96, 96), anyhit_strategy="single"),
+    "b64-single-k12": dict(stale_round_masks=True, pairs_per_step=8,
+                           _block=(64, 64), anyhit_strategy="single",
+                           closest_k=12),
 }
 
 

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TextureStack:
     data: jax.Array  # f32[N, Hmax, Wmax, 4]
@@ -31,6 +30,11 @@ class TextureStack:
     #: native-size handles (``TextureSet.inl:15-38``), which a fixed
     #: resample was silently degrading (VERDICT r3 missing 6).
     sizes: jax.Array | None = None
+    #: STATIC (jit-meta) marker for the all-white placeholder stack:
+    #: texture-less scenes let the integrator skip every fetch at
+    #: trace time (the results are identical — ids are all -1 — the
+    #: gathers and filters just never get emitted).
+    stub: bool = False
 
     @property
     def count(self) -> int:
@@ -41,7 +45,8 @@ class TextureStack:
         """Stack with a single white texture at id 0 (the reference keeps a
         null slot at id 0 too, ``TextureSet.inl:46-52``)."""
         return TextureStack(
-            data=jnp.ones((1, resolution, resolution, 4), jnp.float32))
+            data=jnp.ones((1, resolution, resolution, 4), jnp.float32),
+            stub=True)
 
     @staticmethod
     def from_images(images: list[np.ndarray],
@@ -75,6 +80,11 @@ class TextureStack:
             sizes[i] = (w, h)
         return TextureStack(data=jnp.asarray(out),
                             sizes=jnp.asarray(sizes))
+
+
+jax.tree_util.register_dataclass(TextureStack,
+                                 data_fields=["data", "sizes"],
+                                 meta_fields=["stub"])
 
 
 def _tex_size(stack: TextureStack, tid):

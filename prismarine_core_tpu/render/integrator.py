@@ -202,30 +202,39 @@ def _interpolate_surface(scene: Scene, hit: Hit, d,
         tang = pm.normalize(
             (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * rdet)
 
-    # Tangent-space normal mapping (surface.comp:121-163): perturb the
-    # interpolated normal by the bump texture where one is bound.
-    has_btex = mat.tex_bump >= 0
-    btex = sample_tex(scene.textures, mat.tex_bump, uv)
-    bitan = jnp.cross(ns, tang)
-    nt = btex[:, :3] * 2.0 - 1.0
-    n_mapped = pm.normalize(
-        tang * nt[:, 0:1] + bitan * nt[:, 1:2] + ns * nt[:, 2:3])
-    ns = jnp.where(has_btex[:, None], n_mapped, ns)
+    if getattr(scene.textures, "stub", False):
+        # texture-less scene (the placeholder white stack): the fetch
+        # results are identities — skip all four gathers+filters at
+        # TRACE time (jit-static; results bit-identical)
+        albedo4 = mat.diffuse
+        emissive = mat.emissive[:, :3]
+        spec = mat.specular
+    else:
+        # Tangent-space normal mapping (surface.comp:121-163): perturb
+        # the interpolated normal by the bump texture where bound.
+        has_btex = mat.tex_bump >= 0
+        btex = sample_tex(scene.textures, mat.tex_bump, uv)
+        bitan = jnp.cross(ns, tang)
+        nt = btex[:, :3] * 2.0 - 1.0
+        n_mapped = pm.normalize(
+            tang * nt[:, 0:1] + bitan * nt[:, 1:2] + ns * nt[:, 2:3])
+        ns = jnp.where(has_btex[:, None], n_mapped, ns)
 
-    albedo4 = mat.diffuse
-    has_tex = mat.tex_diffuse >= 0
-    tex = sample_tex(scene.textures, mat.tex_diffuse, uv)
-    albedo4 = jnp.where(has_tex[:, None], albedo4 * tex, albedo4)
+        albedo4 = mat.diffuse
+        has_tex = mat.tex_diffuse >= 0
+        tex = sample_tex(scene.textures, mat.tex_diffuse, uv)
+        albedo4 = jnp.where(has_tex[:, None], albedo4 * tex, albedo4)
 
-    emissive = mat.emissive[:, :3]
-    has_etex = mat.tex_emissive >= 0
-    etex = sample_tex(scene.textures, mat.tex_emissive, uv)
-    emissive = jnp.where(has_etex[:, None], emissive * etex[:, :3], emissive)
+        emissive = mat.emissive[:, :3]
+        has_etex = mat.tex_emissive >= 0
+        etex = sample_tex(scene.textures, mat.tex_emissive, uv)
+        emissive = jnp.where(has_etex[:, None],
+                             emissive * etex[:, :3], emissive)
 
-    spec = mat.specular
-    has_stex = mat.tex_specular >= 0
-    stex = sample_tex(scene.textures, mat.tex_specular, uv)
-    spec = jnp.where(has_stex[:, None], spec * stex, spec)
+        spec = mat.specular
+        has_stex = mat.tex_specular >= 0
+        stex = sample_tex(scene.textures, mat.tex_specular, uv)
+        spec = jnp.where(has_stex[:, None], spec * stex, spec)
 
     return dict(
         shading_normal=ns,
