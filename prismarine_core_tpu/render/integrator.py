@@ -189,18 +189,26 @@ def _interpolate_surface(scene: Scene, hit: Hit, d,
                                     soup.v2[tri] - soup.v0[tri]))
         # Use the geometric normal where shading normals are degenerate.
         ns = jnp.where(jnp.isfinite(ns).all(-1, keepdims=True), ns, ng)
-        uv = w * soup.t0[tri] + uu * soup.t1[tri] + vv * soup.t2[tri]
 
         mat = scene.materials.lookup(soup.mat_id[tri])
 
-        e1 = soup.v1[tri] - soup.v0[tri]
-        e2 = soup.v2[tri] - soup.v0[tri]
-        duv1 = soup.t1[tri] - soup.t0[tri]
-        duv2 = soup.t2[tri] - soup.t0[tri]
-        det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
-        rdet = pm.safe_rcp(det_uv)[:, None]
-        tang = pm.normalize(
-            (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * rdet)
+        if getattr(scene.textures, "stub", False):
+            # uv and the tangent frame only feed texture fetches —
+            # skip their five soup gathers + math on texture-less
+            # scenes (the dict's uv is zeros there, documented)
+            uv = jnp.zeros((tri.shape[0], 2), jnp.float32)
+            tang = ns
+        else:
+            uv = (w * soup.t0[tri] + uu * soup.t1[tri]
+                  + vv * soup.t2[tri])
+            e1 = soup.v1[tri] - soup.v0[tri]
+            e2 = soup.v2[tri] - soup.v0[tri]
+            duv1 = soup.t1[tri] - soup.t0[tri]
+            duv2 = soup.t2[tri] - soup.t0[tri]
+            det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+            rdet = pm.safe_rcp(det_uv)[:, None]
+            tang = pm.normalize(
+                (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * rdet)
 
     if getattr(scene.textures, "stub", False):
         # texture-less scene (the placeholder white stack): the fetch
