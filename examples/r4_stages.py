@@ -156,6 +156,22 @@ def main():
             timeit(f, oo, dd, jnp.full((oo.shape[0],), 30.0),
                    label=label)
 
+        # ---- PRODUCTION config (pps8, any-hit single) ----
+        prod = dict(cull_impl="pallas", recull="sb", pairs_per_step=8)
+        f = jax.jit(lambda oo, dd, tc: pk._run_packet_pallas(
+            bvh.lo[0], bvh.hi[0], ps, oo, dd, tc, False, **prod))
+        timeit(f, oo, dd, t_cap, label="closest PROD pps8")
+        f = jax.jit(lambda oo, dd, tc: pk._run_packet_pallas(
+            bvh.lo[0], bvh.hi[0], ps, oo, dd, tc, True,
+            strategy="single", **prod))
+        timeit(f, oo, dd, jnp.full((oo.shape[0],), 30.0),
+               label="any-hit PROD pps8 single")
+
+        # sorted-matrix build alone (keys+sort+inv+row gather)
+        f = jax.jit(lambda oo, dd, tc: pk._sorted_rays_matrix(
+            bvh.lo[0], bvh.hi[0], oo, dd, tc))
+        timeit(f, oo, dd, t_cap, label="sorted-matrix build (fused)")
+
 
 if __name__ == "__main__":
     main()

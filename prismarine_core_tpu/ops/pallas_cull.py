@@ -103,11 +103,12 @@ def _cull_kernel(packed, n_live,         # SMEM i32[1]
         out_ref[0, :, :] = jnp.full_like(out_ref[0, :, :], INF_DIST)
 
 
-@partial(jax.jit, static_argnames=("chunk",))
+@partial(jax.jit, static_argnames=("chunk", "packed_min_nt"))
 def pallas_block_cull(rays,      # f32[(nt+1)*TILE, RAY_COLS]
                       box_rows,  # f32[_BOX_ROWS, nb_pad] (nb_pad % 128 == 0)
                       n_live,    # i32[] count of leading candidate tiles
-                      chunk: int = 1024):
+                      chunk: int = 1024,
+                      packed_min_nt: int = 12000):
     """Per-(tile, block) entry distance, INF_DIST where the tile has no
     ray passing the block's slab test under its cap.
 
@@ -123,9 +124,12 @@ def pallas_block_cull(rays,      # f32[(nt+1)*TILE, RAY_COLS]
     while nb_pad % chunk:
         chunk -= 128
     # packed layout: 8 block chunks per step -> exactly nt*nb floats
-    # written; needs nb_pad divisible into 8-chunk groups (small scenes
-    # fall back to the 8x-broadcast row layout)
-    packed = nb_pad % (8 * chunk) == 0 and nb_pad >= 8 * 128
+    # written.  The per-row stores are sublane-1 (masked vreg writes),
+    # measured ~8 ms slower than the broadcast layout at 921k rays —
+    # packed only pays once the 8x write volume dominates (multi-spp /
+    # very large ray counts), so it gates on nt.
+    packed = (nb_pad % (8 * chunk) == 0 and nb_pad >= 8 * 128
+              and nt > packed_min_nt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -178,11 +182,19 @@ def derive_pair_tables(tn_blk, nsb, sb: int):
     sb_mask bool[nt, nsb]: tile lists superblock (any block hit);
     sb_tn   f32[nt, nsb]: min block entry (front-to-back lower bound);
     mask8   i32[nt, nsb]: per-pair block bitmask (bit k = block sb*SB+k).
+
+    Works on STRIDED lane slices [nt, nsb] instead of a
+    [nt, nsb, sb] reshape: an 8-wide minor dimension runs every
+    elementwise op at 8/128 lane occupancy (measured 40-50 ms for this
+    trivial pass; the strided form keeps a 128-multiple minor dim).
     """
-    nt = tn_blk.shape[0]
-    blk = tn_blk[:, :nsb * sb].reshape(nt, nsb, sb)
-    hit = blk < INF_DIST
-    bits = (1 << jnp.arange(sb, dtype=jnp.int32))[None, None, :]
-    mask8 = jnp.sum(jnp.where(hit, bits, 0), axis=-1)
-    sb_tn = jnp.min(blk, axis=-1)
+    blk = tn_blk[:, :nsb * sb]
+    sl = blk[:, 0::sb]
+    sb_tn = sl
+    mask8f = (sl < INF_DIST).astype(jnp.float32)
+    for k in range(1, sb):
+        sl = blk[:, k::sb]
+        sb_tn = jnp.minimum(sb_tn, sl)
+        mask8f = mask8f + (sl < INF_DIST).astype(jnp.float32) * (1 << k)
+    mask8 = mask8f.astype(jnp.int32)
     return mask8 != 0, sb_tn, mask8

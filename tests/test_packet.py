@@ -278,7 +278,7 @@ def test_pallas_cull_packed_layout_matches_reference():
     rays[:nt * 128, 8:11] = inv
 
     got = np.asarray(pallas_block_cull(jnp.asarray(rays), box_rows,
-                                       jnp.int32(nt)))
+                                       jnp.int32(nt), packed_min_nt=0))
     assert got.shape == (nt, nb)
 
     # numpy reference
