@@ -94,6 +94,16 @@ VARIANTS = {
     "b64-single-k12": dict(stale_round_masks=True, pairs_per_step=8,
                            _block=(64, 64), anyhit_strategy="single",
                            closest_k=12),
+    # decomposition at the PRODUCTION config
+    "prod-noshadow": dict(stale_round_masks=True, pairs_per_step=8,
+                          _block=(64, 64), anyhit_strategy="single",
+                          direct_light=False),
+    "prod-b1": dict(stale_round_masks=True, pairs_per_step=8,
+                    _block=(64, 64), anyhit_strategy="single",
+                    max_bounces=1),
+    "prod-b2": dict(stale_round_masks=True, pairs_per_step=8,
+                    _block=(64, 64), anyhit_strategy="single",
+                    max_bounces=2),
 }
 
 

@@ -167,6 +167,7 @@ def _interpolate_surface(scene: Scene, hit: Hit, d,
         sample_tex = sample_bicubic
     else:
         sample_tex = sample_bilinear
+    stub = bool(getattr(scene.textures, "stub", False))
     if carried is not None:
         ng = pm.normalize(carried["ng"])
         ns = pm.normalize(carried["ns"])
@@ -176,6 +177,13 @@ def _interpolate_surface(scene: Scene, hit: Hit, d,
         tang = pm.normalize(carried["tang"])
         tang = jnp.where(jnp.isfinite(tang).all(-1, keepdims=True),
                          tang, 0.0)
+        albedo4 = mat.diffuse
+        rough, metal = mat.specular[:, 1], mat.specular[:, 2]
+        emissive = mat.emissive[:, :3]
+        transm = mat.transmission[:, :3]
+        ior = mat.ior
+        texids = (mat.tex_diffuse, mat.tex_specular,
+                  mat.tex_emissive, mat.tex_bump)
     else:
         tri = jnp.maximum(hit.tri, 0)
         soup = scene.triangles
@@ -183,6 +191,11 @@ def _interpolate_surface(scene: Scene, hit: Hit, d,
         uu = hit.u[:, None]
         vv = hit.v[:, None]
 
+        # NOTE: separate per-field gathers beat a packed [T, 31]
+        # attribute-matrix row gather here (measured +30 ms/frame for
+        # the packed form: a sub-128 minor dim degrades every slice op,
+        # and XLA already fuses these gathers well — unlike the kernel
+        # ray matrix, whose consumer is a contiguous DMA)
         ns = pm.normalize(w * soup.n0[tri] + uu * soup.n1[tri]
                           + vv * soup.n2[tri])
         ng = pm.normalize(jnp.cross(soup.v1[tri] - soup.v0[tri],
@@ -191,58 +204,57 @@ def _interpolate_surface(scene: Scene, hit: Hit, d,
         ns = jnp.where(jnp.isfinite(ns).all(-1, keepdims=True), ns, ng)
 
         mat = scene.materials.lookup(soup.mat_id[tri])
+        albedo4 = mat.diffuse
+        rough, metal = mat.specular[:, 1], mat.specular[:, 2]
+        emissive = mat.emissive[:, :3]
+        transm = mat.transmission[:, :3]
+        ior = mat.ior
+        texids = (mat.tex_diffuse, mat.tex_specular,
+                  mat.tex_emissive, mat.tex_bump)
 
-        if getattr(scene.textures, "stub", False):
+        if stub:
             # uv and the tangent frame only feed texture fetches —
-            # skip their five soup gathers + math on texture-less
-            # scenes (the dict's uv is zeros there, documented)
+            # skipped on texture-less scenes (dict uv is zeros there)
             uv = jnp.zeros((tri.shape[0], 2), jnp.float32)
             tang = ns
         else:
-            uv = (w * soup.t0[tri] + uu * soup.t1[tri]
-                  + vv * soup.t2[tri])
-            e1 = soup.v1[tri] - soup.v0[tri]
-            e2 = soup.v2[tri] - soup.v0[tri]
-            duv1 = soup.t1[tri] - soup.t0[tri]
-            duv2 = soup.t2[tri] - soup.t0[tri]
+            t0 = soup.t0[tri]
+            t1 = soup.t1[tri]
+            t2 = soup.t2[tri]
+            uv = w * t0 + uu * t1 + vv * t2
+            duv1 = t1 - t0
+            duv2 = t2 - t0
             det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
             rdet = pm.safe_rcp(det_uv)[:, None]
             tang = pm.normalize(
-                (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * rdet)
+                ((soup.v1[tri] - soup.v0[tri]) * duv2[:, 1:2]
+                 - (soup.v2[tri] - soup.v0[tri]) * duv1[:, 1:2]) * rdet)
 
-    if getattr(scene.textures, "stub", False):
-        # texture-less scene (the placeholder white stack): the fetch
-        # results are identities — skip all four gathers+filters at
-        # TRACE time (jit-static; results bit-identical)
-        albedo4 = mat.diffuse
-        emissive = mat.emissive[:, :3]
-        spec = mat.specular
-    else:
+    if not stub:
         # Tangent-space normal mapping (surface.comp:121-163): perturb
         # the interpolated normal by the bump texture where bound.
-        has_btex = mat.tex_bump >= 0
-        btex = sample_tex(scene.textures, mat.tex_bump, uv)
+        tex_d, tex_s, tex_e, tex_b = texids
+        has_btex = tex_b >= 0
+        btex = sample_tex(scene.textures, tex_b, uv)
         bitan = jnp.cross(ns, tang)
         nt = btex[:, :3] * 2.0 - 1.0
         n_mapped = pm.normalize(
             tang * nt[:, 0:1] + bitan * nt[:, 1:2] + ns * nt[:, 2:3])
         ns = jnp.where(has_btex[:, None], n_mapped, ns)
 
-        albedo4 = mat.diffuse
-        has_tex = mat.tex_diffuse >= 0
-        tex = sample_tex(scene.textures, mat.tex_diffuse, uv)
+        has_tex = tex_d >= 0
+        tex = sample_tex(scene.textures, tex_d, uv)
         albedo4 = jnp.where(has_tex[:, None], albedo4 * tex, albedo4)
 
-        emissive = mat.emissive[:, :3]
-        has_etex = mat.tex_emissive >= 0
-        etex = sample_tex(scene.textures, mat.tex_emissive, uv)
+        has_etex = tex_e >= 0
+        etex = sample_tex(scene.textures, tex_e, uv)
         emissive = jnp.where(has_etex[:, None],
                              emissive * etex[:, :3], emissive)
 
-        spec = mat.specular
-        has_stex = mat.tex_specular >= 0
-        stex = sample_tex(scene.textures, mat.tex_specular, uv)
-        spec = jnp.where(has_stex[:, None], spec * stex, spec)
+        has_stex = tex_s >= 0
+        stex = sample_tex(scene.textures, tex_s, uv)
+        rough = jnp.where(has_stex, rough * stex[:, 1], rough)
+        metal = jnp.where(has_stex, metal * stex[:, 2], metal)
 
     return dict(
         shading_normal=ns,
@@ -250,11 +262,11 @@ def _interpolate_surface(scene: Scene, hit: Hit, d,
         uv=uv,
         albedo=albedo4[:, :3],
         alpha=albedo4[:, 3],
-        roughness=spec[:, 1],
-        metallic=spec[:, 2],
+        roughness=rough,
+        metallic=metal,
         emissive=emissive,
-        transmission=mat.transmission[:, :3],
-        ior=mat.ior,
+        transmission=transm,
+        ior=ior,
     )
 
 
@@ -343,25 +355,23 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig,
     instead of re-sorting (cfg.reuse_bounce_order; see ``trace``)."""
 
     def step(carry, u):
-        o, d, beta, radiance, alive, prev_pdf = carry
+        (o, d, beta, radiance, alive, prev_pdf,
+         miss_dir, miss_beta, miss_pdf) = carry
         t_cap = jnp.where(alive, INF_DIST, 0.0)
         hit, order, carried = closest_hit(scene, o, d, cfg, t_cap=t_cap,
                                           with_order=True,
                                           order=fixed_order,
                                           with_surface=True)
 
+        # DEFERRED env pickup: each lane misses at most once (a missed
+        # lane is dead for good), so instead of fetching the env map on
+        # every bounce for every lane (4 bilinear taps x bounces of
+        # [R]-row gathers), record (direction, throughput, bsdf pdf) at
+        # the miss and fetch ONCE after the scan.
         miss = alive & hit.missed
-        env = scene.environment.sample(d)
-        if cfg.env_nee:
-            # MIS weight of the BSDF strategy for env light picked up on
-            # miss; prev_pdf == 0 marks delta/primary lanes (weight 1).
-            from prismarine_core_tpu.models.textures import env_pdf
-            pdf_e_d = env_pdf(scene.environment, d)
-            w_miss = jnp.where(
-                prev_pdf > 0.0,
-                prev_pdf / jnp.maximum(prev_pdf + pdf_e_d, 1e-20), 1.0)
-            env = env * w_miss[:, None]
-        radiance = radiance + jnp.where(miss[:, None], beta * env, 0.0)
+        miss_dir = jnp.where(miss[:, None], d, miss_dir)
+        miss_beta = jnp.where(miss[:, None], beta, miss_beta)
+        miss_pdf = jnp.where(miss, prev_pdf, miss_pdf)
 
         on_surf = alive & ~hit.missed
         surf = _interpolate_surface(scene, hit, d, cfg, carried=carried)
@@ -465,9 +475,26 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig,
             n_shadow,                              # NEE shadow lanes
         ])
         return ((new_o, new_d, new_beta, radiance, new_alive,
-                 new_prev_pdf), stats)
+                 new_prev_pdf, miss_dir, miss_beta, miss_pdf), stats)
 
     return step
+
+
+def _env_pickup(scene: Scene, cfg: RenderConfig, radiance,
+                miss_dir, miss_beta, miss_pdf):
+    """The deferred miss-shading env fetch: ONE bilinear lookup for all
+    lanes after the bounce scan (miss_beta is zero for lanes that never
+    missed).  Under cfg.env_nee the recorded bsdf pdf reconstructs the
+    balance-heuristic MIS weight exactly as the per-bounce form did."""
+    env = scene.environment.sample(miss_dir)
+    if cfg.env_nee:
+        from prismarine_core_tpu.models.textures import env_pdf
+        pdf_e_d = env_pdf(scene.environment, miss_dir)
+        w_miss = jnp.where(
+            miss_pdf > 0.0,
+            miss_pdf / jnp.maximum(miss_pdf + pdf_e_d, 1e-20), 1.0)
+        env = env * w_miss[:, None]
+    return radiance + miss_beta * env
 
 
 def interlace_mask(cfg: RenderConfig, stage) -> jax.Array:
@@ -493,6 +520,9 @@ def trace(scene: Scene, cfg: RenderConfig, o, d, bounce_samples,
         jnp.zeros((r, 3), jnp.float32),
         jnp.ones((r,), bool) if active is None else active,
         jnp.zeros((r,), jnp.float32),   # prev_pdf: primary rays = delta
+        jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (r, 3)),  # miss d
+        jnp.zeros((r, 3), jnp.float32),                   # miss beta
+        jnp.zeros((r,), jnp.float32),                     # miss bsdf pdf
     )
     if (cfg.reuse_bounce_order and cfg.intersector == "pallas"
             and bounce_samples.shape[0] > 1):
@@ -511,13 +541,18 @@ def trace(scene: Scene, cfg: RenderConfig, o, d, bounce_samples,
             jax.lax.stop_gradient(o0), jax.lax.stop_gradient(d0),
             jnp.ones((r,)), mode=cfg.sort_mode)
         step_rest = make_bounce_step(scene, cfg, fixed_order=order0)
-        (o, d, beta, radiance, alive, _), stats_rest = jax.lax.scan(
+        carry, stats_rest = jax.lax.scan(
             step_rest, carry, bounce_samples[1:])
+        (_, _, _, radiance, _, _, miss_dir, miss_beta, miss_pdf) = carry
+        radiance = _env_pickup(scene, cfg, radiance, miss_dir,
+                               miss_beta, miss_pdf)
         stats = jnp.concatenate([stats0[None], stats_rest])
         return radiance, stats
     step = make_bounce_step(scene, cfg)
-    (o, d, beta, radiance, alive, _), stats = jax.lax.scan(
-        step, init, bounce_samples)
+    carry, stats = jax.lax.scan(step, init, bounce_samples)
+    (_, _, _, radiance, _, _, miss_dir, miss_beta, miss_pdf) = carry
+    radiance = _env_pickup(scene, cfg, radiance, miss_dir,
+                           miss_beta, miss_pdf)
     return radiance, stats
 
 
