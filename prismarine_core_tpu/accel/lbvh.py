@@ -337,3 +337,59 @@ def build_bvh(soup: TriangleSoup, leaf_size: int = 4,
         lo=lo, hi=hi, left=left, skip=skip,
         tv0=tv0, tv1=tv1, tv2=tv2, orig=orig,
     )
+
+
+@jax.jit
+def refit_bvh(bvh: BVH, soup: TriangleSoup) -> BVH:
+    """Topology-reusing refit: re-union every AABB over FROZEN topology
+    after the soup's vertices moved (the analog of the reference's
+    per-frame ``refit.comp:21-114``, which re-walks the tree bottom-up
+    under atomic visit flags; here it is the same masked fix-point
+    reduction the build uses, with the Morton sort / radix-tree
+    topology passes skipped).
+
+    Valid whenever triangle COUNT and identity are unchanged (deforming
+    geometry, per-frame animation, inverse-rendering vertex updates);
+    box quality degrades only as far as the frozen Morton order does.
+    Works for both topologies: the right child of internal node ``i``
+    is recovered as ``skip[left[i]]`` (a left child's escape link is by
+    construction its right sibling).
+    """
+    first_leaf = bvh.first_leaf
+    n_nodes = bvh.n_nodes
+    leaf_size = bvh.leaf_size
+    big = jnp.float32(EMPTY_BOX)
+
+    trix = jnp.maximum(bvh.orig, 0)
+    valid = (bvh.orig >= 0)[:, None]
+    tv0 = jnp.where(valid, soup.v0[trix], 0.0)
+    tv1 = jnp.where(valid, soup.v1[trix], 0.0)
+    tv2 = jnp.where(valid, soup.v2[trix], 0.0)
+
+    slo = jnp.where(valid, jnp.minimum(jnp.minimum(tv0, tv1), tv2), big)
+    shi = jnp.where(valid, jnp.maximum(jnp.maximum(tv0, tv1), tv2), -big)
+    leaf_lo = slo.reshape(-1, leaf_size, 3).min(axis=1)
+    leaf_hi = shi.reshape(-1, leaf_size, 3).max(axis=1)
+
+    lo = jnp.full((n_nodes, 3), big, jnp.float32)
+    hi = jnp.full((n_nodes, 3), -big, jnp.float32)
+    lo = lo.at[first_leaf:].set(leaf_lo)
+    hi = hi.at[first_leaf:].set(leaf_hi)
+    if first_leaf > 0:
+        kleft = bvh.left[:first_leaf]
+        kright = bvh.skip[kleft]
+
+        def refit_pass(_, boxes):
+            lo, hi = boxes
+            nlo = jnp.minimum(lo[kleft], lo[kright])
+            nhi = jnp.maximum(hi[kleft], hi[kright])
+            return (lo.at[:first_leaf].set(nlo),
+                    hi.at[:first_leaf].set(nhi))
+
+        lo, hi = jax.lax.fori_loop(0, _MAX_DEPTH, refit_pass, (lo, hi))
+
+    empty = (lo > hi).any(axis=-1, keepdims=True)
+    lo = jnp.where(empty, big, lo)
+    hi = jnp.where(empty, big, hi)
+    return BVH(lo=lo, hi=hi, left=bvh.left, skip=bvh.skip,
+               tv0=tv0, tv1=tv1, tv2=tv2, orig=bvh.orig)

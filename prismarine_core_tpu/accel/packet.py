@@ -405,7 +405,9 @@ def _compact_rows_masked(mask2d, sb2d, pm2d, nt, nsb, bound,
     with same-tile mask-0 entries, so the kernel can execute ``align``
     pairs per grid step without a step ever straddling tiles
     (pairs_per_step; worst-case padding nt*(align-1) entries at 8-bit
-    mask density ~0)."""
+    mask density ~0).  ``pm2d=None`` skips the mask bits entirely and
+    returns ``pm=None`` (the two-level-cull path derives masks AFTER
+    compaction from the pair-driven refine kernel)."""
     rows, k = mask2d.shape
     lw = nt * k
     tb = max(nt, 1).bit_length()
@@ -413,8 +415,8 @@ def _compact_rows_masked(mask2d, sb2d, pm2d, nt, nsb, bound,
     tile_of = jnp.arange(lw, dtype=jnp.int32) // k
     flat = mask2d.reshape(-1)
     sb_of = jnp.minimum(sb2d.reshape(-1), nsb)
-    with_mask = tb + sbb + 8 <= 31
-    assert with_mask or tb + sbb <= 31, \
+    with_mask = pm2d is not None and tb + sbb + 8 <= 31
+    assert with_mask or pm2d is None or tb + sbb <= 31, \
         "scene/ray count exceeds pair-packing range"
     shift = (sbb + 8) if with_mask else sbb
     if with_mask:
@@ -457,6 +459,8 @@ def _compact_rows_masked(mask2d, sb2d, pm2d, nt, nsb, bound,
     psb = (packed >> 8 if with_mask else packed) & ((1 << sbb) - 1)
     if with_mask:
         return pt, psb, packed & 0xFF, n_pairs
+    if pm2d is None:
+        return pt, psb, None, n_pairs
     pm, _ = _compact_codes(
         flat, pm2d.reshape(-1), bound, 0,
         pos_of=None if align == 1 else pos_of, out_len=out_len)
@@ -715,19 +719,24 @@ def _sorted_rays_matrix(root_lo, root_hi, o, d, t_cap, order=None,
     the unsorted matrix first and permuting whole 64-byte rows once is
     the same data movement the hardware actually likes.  Trailing
     rows: dead-ray padding to a TILE multiple + the all-zero sentinel
-    tile.  Returns (rays, (perm, inv_perm), n_orig)."""
+    tile.  Returns (rays, (perm, inv_perm), n_orig).
+
+    ``order="identity"`` skips the sort AND the row gather entirely
+    (cfg.primary_identity: camera rays in scanline order are already
+    tile-coherent) and is returned as-is so shadow-query reuse stays
+    gather-free too."""
     from prismarine_core_tpu.ops.pallas_intersect import RAY_COLS
     r = o.shape[0]
+    identity = isinstance(order, str) and order == "identity"
     if order is None:
         order = _coherence_perm(root_lo, root_hi, o, d, t_cap, mode)
-    perm, _ = order
 
     cols = jnp.zeros((r, RAY_COLS), jnp.float32)
     cols = cols.at[:, 0:3].set(o)
     cols = cols.at[:, 3:6].set(d)
     cols = cols.at[:, 6].set(t_cap)
     cols = cols.at[:, 8:11].set(_safe_inv(d))
-    rays = cols[perm]                       # the one row gather
+    rays = cols if identity else cols[order[0]]   # the one row gather
 
     pad = (-r) % TILE
     if pad:
@@ -783,7 +792,9 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
                        stale_round_masks: bool = False,
                        pairs_per_step: int = 1,
                        near_frac: float = 0.0,
-                       cull_chunk: int = 1024):
+                       cull_chunk: int = 1024,
+                       cull_window: int = 4096,
+                       with_counters: bool = False):
     """Pallas fast path: sort+tile rays, dense block-granular cull,
     front-to-back pair execution, unsort.  Returns (t, slot, order).
 
@@ -820,6 +831,10 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
     retire individually — stale masks measured +34% on incoherent
     any-hit); True keeps round-0 masks (wins for coherent queries that
     finish in a round or two).  ``sort_mode``: see _sort_pad_rays.
+    ``with_counters``: additionally return a dict of work counters —
+    executed pairs and live [128x128] Möller–Trumbore sub-blocks
+    (popcount of the executed masks) — the per-round tests/ray
+    instrumentation (VERDICT r4 item 2).
     """
     rays, order, r = _sorted_rays_matrix(root_lo, root_hi, o, d, t_cap,
                                          order, mode=sort_mode)
@@ -841,15 +856,36 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
     if not two_round or nsb <= k_first:
         strategy = "single"
 
-    use_pallas_cull = cull_impl == "pallas"
+    use_p2 = cull_impl == "pallas2"
+    use_pallas_cull = cull_impl in ("pallas", "pallas2")
     # pairs_per_step needs tile-ALIGNED pair lists, which only the
     # masked (pallas-cull) compaction produces
     pps = pairs_per_step if use_pallas_cull else 1
+    # two-level path: compact with align = the pair-cull kernel's
+    # pairs-per-step (every aligned group shares a tile); the MT
+    # kernel's pps must divide it
+    align = (16 if pps == 16 else 8) if use_p2 else pps
+    assert align % max(pps, 1) == 0, \
+        "pairs_per_step must be in {1,2,4,8,16} with cull_impl='pallas2'"
     n_live = _live_tile_bound(tct)
 
-    # ---- dense cull: candidate superblocks + entry distances + masks
-    tn_blk = box_rows = None
-    if use_pallas_cull:
+    # ---- dense cull: candidate superblocks + entry distances (+ masks
+    # at block granularity on the one-level "pallas" path; the
+    # two-level "pallas2" path culls dense at SUPERBLOCK granularity —
+    # 1/8 the slab work — and refines masks per compacted pair)
+    tn_blk = box_rows = sb_rows = sbbox = None
+    if use_p2:
+        from prismarine_core_tpu.ops.pallas_cull import (
+            box_rows_from_blocks, pallas_block_cull, pallas_pair_cull,
+            sb_box_table)
+        sb_rows = box_rows_from_blocks(ps.sb_lo, ps.sb_hi)
+        sbbox = sb_box_table(ps.block_lo, ps.block_hi)
+        tn_sb = pallas_block_cull(rays, sb_rows, n_live,
+                                  chunk=cull_chunk)[:, :nsb]
+        sb_mask = tn_sb < INF_DIST
+        sb_tn = tn_sb
+        mask8 = None
+    elif use_pallas_cull:
         from prismarine_core_tpu.ops.pallas_cull import (
             box_rows_from_blocks, derive_pair_tables, pallas_block_cull)
         box_rows = box_rows_from_blocks(ps.block_lo, ps.block_hi)
@@ -866,8 +902,28 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
             sb_mask, sb_tn = _per_ray_tile_overlap(
                 ot, inv, tct, ps.sb_lo, ps.sb_hi, return_tn=True)
 
-    def compact_dense(mask, tct_eff, m8, bound):
+    def rays_with_caps(tct_eff):
+        from prismarine_core_tpu.ops.pallas_intersect import RC_TCAP
+        return rays.at[:nt * TILE, RC_TCAP].set(tct_eff.reshape(-1))
+
+    def attach_masks(pt, psb, np_, rays_eff):
+        """Two-level path: per-pair 8-bit block masks from the
+        pair-driven refine kernel (replaces both the [nt, nb] dense
+        block cull and the _block_masks XLA stage)."""
+        return pallas_pair_cull(pt, psb, np_,
+                                rays if rays_eff is None else rays_eff,
+                                sbbox, cpps=align, window=cull_window)
+
+    def compact_dense(mask, tct_eff, m8, bound, rays_eff=None):
         """[nt, nsb] candidate mask -> (pt, psb, pm, n_pairs)."""
+        if use_p2:
+            pt, psb, _, np_ = _compact_rows_masked(
+                mask, jnp.broadcast_to(
+                    jnp.arange(nsb, dtype=jnp.int32), mask.shape),
+                None, nt, nsb,
+                jnp.minimum(bound * nsb, nt * nsb), align=align)
+            pm = attach_masks(pt, psb, np_, rays_eff)
+            return pt, psb, pm, np_
         if m8 is not None:
             return _compact_pairs_masked(mask, m8, bound, align=pps)
         pt, psb, np_ = _compact_pairs(mask, nsb)
@@ -875,8 +931,14 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
                           ps.block_lo, ps.block_hi)
         return pt, psb, pm, np_
 
-    def compact_topk(cand, ok, tct_eff, m8):
+    def compact_topk(cand, ok, tct_eff, m8, rays_eff=None):
         """[nt, K] candidates -> (pt, psb, pm, n_pairs)."""
+        if use_p2:
+            pt, psb, _, np_ = _compact_rows_masked(
+                ok, cand, None, nt, nsb, nt * cand.shape[1],
+                align=align)
+            pm = attach_masks(pt, psb, np_, rays_eff)
+            return pt, psb, pm, np_
         if m8 is not None:
             pmk = jnp.take_along_axis(
                 m8, jnp.minimum(cand, nsb - 1), axis=1)
@@ -888,15 +950,22 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
                           ps.block_lo, ps.block_hi)
         return pt, psb, pm, np_
 
+    def _bits(pm):
+        return jnp.sum(jnp.bitwise_count(pm.astype(jnp.uint32)
+                                         ).astype(jnp.int32))
+
+    counters = None
     if strategy == "single":
         pt, psb, pm, np_ = compact_dense(sb_mask, tct, mask8, n_live)
         out = _run_kernel(pt, psb, pm, np_, rays,
                           ps.planes, nt, nsb, window,
                           pairs_per_step=pps)
+        if with_counters:
+            counters = dict(n_pairs=np_, mt_subblocks=_bits(pm))
     elif strategy == "two_round":
         # ---- round 1: nearest candidate superblocks per tile ----
         tn_cand = jnp.where(sb_mask, sb_tn, INF_DIST)
-        if near_frac > 0.0 and mask8 is not None:
+        if near_frac > 0.0 and (mask8 is not None or use_p2):
             # THRESHOLD selection: superblocks whose entry distance is
             # within near_frac of the tile's candidate range run first
             # (two row reduces instead of a ~41 ms top_k; measured a
@@ -930,10 +999,21 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
         else:
             tct2 = jnp.minimum(tct, best1)
         n_live2 = _live_tile_bound(tct2)
-        if use_pallas_cull:
+        rays2 = None
+        if use_p2:
+            # re-run the SUPERBLOCK-level dense cull with the
+            # per-ray tightened caps (exact per-ray pruning at sb
+            # granularity, ~1/8 the round-4 block-cull work); the
+            # pair-driven refine then derives masks under the same
+            # tightened caps
+            rays2 = rays_with_caps(tct2)
+            tn2 = pallas_block_cull(rays2, sb_rows, n_live2,
+                                    chunk=cull_chunk)[:, :nsb]
+            sb_mask2 = (tn2 < INF_DIST) & sb_mask & ~executed
+            mask8_2 = None
+        elif use_pallas_cull:
             if recull == "kernel":
-                rays2 = rays.at[:nt * TILE, RC_TCAP].set(
-                    tct2.reshape(-1))
+                rays2 = rays_with_caps(tct2)
                 from prismarine_core_tpu.ops.pallas_cull import (
                     derive_pair_tables, pallas_block_cull)
                 tn2 = pallas_block_cull(rays2, box_rows, n_live2,
@@ -957,10 +1037,13 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
                                               ps.sb_lo, ps.sb_hi)
                         & sb_mask & ~executed)
         pt2, psb2, pm2, np2 = compact_dense(sb_mask2, tct2, mask8_2,
-                                            n_live2)
+                                            n_live2, rays_eff=rays2)
         out = _run_kernel(pt2, psb2, pm2, np2, rays, ps.planes,
                           nt, nsb, window, prior=out,
                           pairs_per_step=pps)
+        if with_counters:
+            counters = dict(n_pairs=np1 + np2,
+                            mt_subblocks=_bits(pm1) + _bits(pm2))
     else:
         k = k_first
         # per-tile front-to-back candidate order (one row-wise sort)
@@ -995,17 +1078,22 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
             ctn = jax.lax.dynamic_slice(tn_sorted, (0, rr * k),
                                         (nt, k))
             ok = (ctn <= tile_cap[:, None]) & (ctn < INF_DIST)
+            # refresh the block masks against the PER-RAY tightened
+            # caps: lanes retire individually, and round-0 masks
+            # measured +34% kernel work on incoherent any-hit.  On the
+            # two-level path the refresh is the pair-driven refine
+            # kernel itself, fed cap-tightened rays.
+            rays_eff = (None if stale_round_masks
+                        else rays_with_caps(tct_eff)) if use_p2 else None
             pt, psb, pm, npairs = compact_topk(cand, ok, tct_eff,
-                                               mask8)
-            if use_pallas_cull and not stale_round_masks:
-                # refresh the block masks against the PER-RAY tightened
-                # caps: lanes retire individually, and round-0 masks
-                # measured +34% kernel work on incoherent any-hit
+                                               mask8, rays_eff=rays_eff)
+            if use_pallas_cull and not use_p2 and not stale_round_masks:
                 pm = _block_masks(ot, inv, tct_eff, pt, psb, npairs,
                                   ps.block_lo, ps.block_hi)
-            return _run_kernel(pt, psb, pm, npairs, rays, ps.planes,
-                               nt, nsb, window, prior=out,
-                               pairs_per_step=pps)
+            out = _run_kernel(pt, psb, pm, npairs, rays, ps.planes,
+                              nt, nsb, window, prior=out,
+                              pairs_per_step=pps)
+            return out, npairs, _bits(pm)
 
         # round 0 always runs (prior=None initializes the accumulator
         # to t_cap/-1 inside _run_kernel)
@@ -1017,7 +1105,7 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
                           nt, nsb, window, pairs_per_step=pps)
 
         def cond(state):
-            rr, out, tile_cap = state
+            rr, out, tile_cap, _, _ = state
             # exact: per tile, candidates are tn-ascending, so if the
             # round's FIRST candidate cannot beat the tile's worst
             # live cap, none can
@@ -1026,23 +1114,29 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
             return (rr < n_rounds) & jnp.any(nxt <= tile_cap)
 
         def body(state):
-            rr, out, _ = state
+            rr, out, _, npa, bca = state
             tct_eff, tile_cap = caps_from(out)
-            out = do_round(rr, out, tct_eff, tile_cap)
+            out, npr, bcr = do_round(rr, out, tct_eff, tile_cap)
             _, tile_cap = caps_from(out)
-            return rr + 1, out, tile_cap
+            return rr + 1, out, tile_cap, npa + npr, bca + bcr
 
         _, tile_cap0 = caps_from(out)
-        _, out, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(1), out, tile_cap0))
+        _, out, _, np_acc, bc_acc = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), out, tile_cap0, np0, _bits(pm0)))
+        if with_counters:
+            counters = dict(n_pairs=np_acc, mt_subblocks=bc_acc)
 
     out = out.reshape(nt + 1, TILE, 8)[:nt]
     t = out[:, :, 0]
     slot = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32)
 
-    inv_perm = order[1]
     t, slot = (x.reshape(nt * TILE)[:r] for x in (t, slot))
-    return t[inv_perm], slot[inv_perm], order
+    if not isinstance(order, str):
+        inv_perm = order[1]
+        t, slot = t[inv_perm], slot[inv_perm]
+    if with_counters:
+        return t, slot, order, counters
+    return t, slot, order
 
 
 def _run_packet(bvh: BVH, ps: PacketSet, o, d, t_cap, any_hit: bool):

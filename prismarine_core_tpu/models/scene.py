@@ -57,6 +57,21 @@ class Scene:
         return dataclasses.replace(
             self, bvh=bvh, packets=build_packet_set(bvh))
 
+    def with_refit(self) -> "Scene":
+        """Topology-reusing refit: re-union the existing BVH's AABBs
+        (and rebuild the packet view's derived planes/boxes) after the
+        soup's VERTICES moved without count/identity changes — the
+        cheap per-frame animation path (reference ``refit.comp``),
+        skipping the Morton sort and radix-tree passes entirely."""
+        from prismarine_core_tpu.accel.lbvh import refit_bvh
+        from prismarine_core_tpu.accel.packet import build_packet_set
+        if self.bvh is None:
+            raise ValueError("with_refit() needs an existing BVH — "
+                             "build one with with_bvh() first")
+        bvh = refit_bvh(self.bvh, self.triangles)
+        return dataclasses.replace(
+            self, bvh=bvh, packets=build_packet_set(bvh))
+
 
 def make_cornell_scene(capacity: int | None = None) -> Scene:
     """Cornell-box-style test scene: an inward-facing room, one tall box,

@@ -40,7 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from prismarine_core_tpu.ops.pallas_intersect import (
-    RAY_COLS, RC_IVX, RC_IVY, RC_IVZ, RC_OX, RC_OY, RC_OZ, RC_TCAP, TILE)
+    RAY_COLS, RC_IVX, RC_IVY, RC_IVZ, RC_OX, RC_OY, RC_OZ, RC_TCAP,
+    SB as _SB, TILE)
 from prismarine_core_tpu.utils.config import INF_DIST
 
 #: block AABB component rows (lanes = blocks)
@@ -174,6 +175,157 @@ def box_rows_from_blocks(block_lo, block_hi):
     rows = rows.at[0:3, :nb].set(block_lo.T)
     rows = rows.at[3:6, :nb].set(block_hi.T)
     return rows
+
+
+def sb_box_table(block_lo, block_hi):
+    """[nb,3]x2 block AABBs -> f32[nsb+1, 8, SB] per-superblock box
+    table for the pair-driven refine kernel: entry ``[s, c, k]`` is
+    component ``c`` (lo_xyz, hi_xyz, pad, pad) of block ``s*SB + k``.
+    Row ``nsb`` is the compaction sentinel: far POINT boxes
+    (lo == hi == +EMPTY_BOX) that never pass a slab test — NOT the
+    inverted box, which would pass it for every ray (tn=-E, tf=+E on
+    all axes)."""
+    nb = block_lo.shape[0]
+    assert nb % _SB == 0
+    nsb = nb // _SB
+    from prismarine_core_tpu.accel.lbvh import EMPTY_BOX
+    tab = jnp.full((nsb + 1, _BOX_ROWS, _SB), jnp.float32(EMPTY_BOX))
+    tab = tab.at[:nsb, 0:3, :].set(
+        block_lo.reshape(nsb, _SB, 3).transpose(0, 2, 1))
+    tab = tab.at[:nsb, 3:6, :].set(
+        block_hi.reshape(nsb, _SB, 3).transpose(0, 2, 1))
+    return tab
+
+
+def _pair_cull_kernel(cpps, pair_tile, pair_sb,   # SMEM i32[window]
+                      ray_ref,                    # [TILE, RAY_COLS]
+                      *refs):                     # cpps box refs, out, scr
+    box_refs = refs[:cpps]                        # each [1, 8, SB]
+    out_ref, scr = refs[cpps:]                    # [1, 8, 128], [8, 128]
+    del pair_tile, pair_sb
+
+    # assemble the step's [8, cpps*SB] box matrix: component rows on
+    # sublanes, (pair j, block k) on lane j*SB + k; unused trailing
+    # lanes keep far POINT boxes (lo == hi, slab test never passes)
+    from prismarine_core_tpu.accel.lbvh import EMPTY_BOX
+    scr[:, :] = jnp.full((_BOX_ROWS, 128), EMPTY_BOX, jnp.float32)
+    for j in range(cpps):
+        scr[:, j * _SB:(j + 1) * _SB] = box_refs[j][0, :, :]
+
+    def rcol(c):
+        return ray_ref[:, c][:, None]
+
+    def brow(c):
+        return scr[c, :][None, :]
+
+    tc = rcol(RC_TCAP)
+    t0x = (brow(0) - rcol(RC_OX)) * rcol(RC_IVX)
+    t1x = (brow(3) - rcol(RC_OX)) * rcol(RC_IVX)
+    t0y = (brow(1) - rcol(RC_OY)) * rcol(RC_IVY)
+    t1y = (brow(4) - rcol(RC_OY)) * rcol(RC_IVY)
+    t0z = (brow(2) - rcol(RC_OZ)) * rcol(RC_IVZ)
+    t1z = (brow(5) - rcol(RC_OZ)) * rcol(RC_IVZ)
+    tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                 jnp.minimum(t0y, t1y)),
+                     jnp.minimum(t0z, t1z))
+    tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                 jnp.maximum(t0y, t1y)),
+                     jnp.maximum(t0z, t1z))
+    tn0 = jnp.maximum(tn, 0.0)
+    hit = (tf >= tn0) & (tn <= tc) & (tc > 0.0)
+    row = jnp.min(jnp.where(hit, tn0, INF_DIST), axis=0)
+    # full-vreg broadcast store (a single-sublane store would be a
+    # masked write; the 8x volume is 4 KB/step — noise)
+    out_ref[0, :, :] = jnp.broadcast_to(row[None, :], (8, 128))
+
+
+@partial(jax.jit, static_argnames=("cpps", "window"))
+def pallas_pair_cull(pair_tile,   # i32[L] tile-aligned pair list
+                     pair_sb,     # i32[L] superblock ids (pad -> nsb)
+                     n_real,      # i32[] live pair count
+                     rays,        # f32[(nt+1)*TILE, RAY_COLS]
+                     sb_boxes,    # f32[nsb+1, 8, SB] (sb_box_table)
+                     cpps: int = 8,
+                     window: int = 4096):
+    """Per-pair 8-bit block masks via a PAIR-DRIVEN slab kernel.
+
+    The second level of the two-level cull (``cull_impl="pallas2"``):
+    the dense pass runs at SUPERBLOCK granularity (1/8 the slab work of
+    the round-4 block-granular cull), and this kernel refines only the
+    COMPACTED survivor pairs to block granularity — cull work scales
+    with the candidate count instead of O(rays x blocks).  Each grid
+    step tests one 128-ray tile against the ``cpps`` pairs' 8 block
+    AABBs each laid out on lanes ([128 rays x cpps*8 block-lanes] dense
+    slab test, min-reduced over rays).  Requires the pair list aligned
+    so every ``cpps`` consecutive pairs share a tile (packet.py
+    compacts with ``align=cpps``).  Windowed like the intersect kernel:
+    cost adapts to the live pair count, masks fold to i32 codes
+    XLA-side per window.  Returns i32[L] 8-bit masks (0 past n_real).
+    """
+    lw = pair_tile.shape[0]
+    assert cpps * _SB <= 128
+    wpad = (-lw) % window
+    nsb = sb_boxes.shape[0] - 1
+    n_rows = rays.shape[0]
+    nt = n_rows // TILE - 1
+    if wpad:
+        pair_tile = jnp.concatenate(
+            [pair_tile, jnp.full((wpad,), nt, jnp.int32)])
+        pair_sb = jnp.concatenate(
+            [pair_sb, jnp.full((wpad,), nsb, jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(window // cpps,),
+        in_specs=[
+            pl.BlockSpec((TILE, RAY_COLS),
+                         lambda i, pt, psb: (pt[i * cpps], 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, _BOX_ROWS, _SB),
+                         (lambda j: lambda i, pt, psb:
+                          (psb[i * cpps + j], 0, 0))(j),
+                         memory_space=pltpu.VMEM)
+            for j in range(cpps)
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i, pt, psb: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((_BOX_ROWS, 128), jnp.float32)],
+    )
+    call = pl.pallas_call(
+        partial(_pair_cull_kernel, cpps),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((window // cpps, 8, 128),
+                                       jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )
+
+    bits = (1 << jnp.arange(_SB, dtype=jnp.int32))[None, None, :]
+    lwp = lw + wpad
+
+    def cond(state):
+        return state[0] < n_real
+
+    def body(state):
+        start, pm = state
+        pt = jax.lax.dynamic_slice(pair_tile, (start,), (window,))
+        psb = jax.lax.dynamic_slice(pair_sb, (start,), (window,))
+        live = (start + jnp.arange(window, dtype=jnp.int32)) < n_real
+        pt = jnp.where(live, pt, nt)
+        psb = jnp.where(live, psb, nsb)
+        # the same box table feeds every per-pair input slot; only the
+        # index maps differ
+        rows = call(pt, psb, rays,
+                    *([sb_boxes] * cpps))[:, 0, :]   # [window/cpps, 128]
+        tn8 = rows[:, :cpps * _SB].reshape(-1, cpps, _SB)
+        codes = jnp.sum(jnp.where(tn8 < INF_DIST, bits, 0),
+                        axis=-1).reshape(window).astype(jnp.int32)
+        pm = jax.lax.dynamic_update_slice(pm, codes, (start,))
+        return start + window, pm
+
+    _, pm = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((lwp,), jnp.int32)))
+    return pm[:lw]
 
 
 def derive_pair_tables(tn_blk, nsb, sb: int):

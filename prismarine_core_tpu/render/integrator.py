@@ -49,7 +49,8 @@ def _pallas_kwargs(cfg: RenderConfig, any_hit: bool) -> dict:
               stale_round_masks=cfg.stale_round_masks,
               pairs_per_step=cfg.pairs_per_step,
               near_frac=cfg.near_frac,
-              window=cfg.kernel_window)
+              window=cfg.kernel_window,
+              cull_window=cfg.cull_window)
     strat = cfg.anyhit_strategy if any_hit else cfg.closest_strategy
     k = cfg.anyhit_k if any_hit else cfg.closest_k
     if strat:
@@ -524,29 +525,44 @@ def trace(scene: Scene, cfg: RenderConfig, o, d, bounce_samples,
         jnp.zeros((r, 3), jnp.float32),                   # miss beta
         jnp.zeros((r,), jnp.float32),                     # miss bsdf pdf
     )
-    if (cfg.reuse_bounce_order and cfg.intersector == "pallas"
-            and bounce_samples.shape[0] > 1):
-        # Peel bounce 0 out of the scan: it sorts fresh and its
-        # coherence permutation is reused by every later bounce
-        # (bounce origins are the previous hits, so spatial coherence
-        # persists; with coherent_bounce_sampling, directions and
-        # branch coins stay block-correlated too).  Saves one 921k-key
-        # u32 sort per later bounce.
-        step0 = make_bounce_step(scene, cfg)
+    is_pallas = cfg.intersector == "pallas"
+    primary_ident = cfg.primary_identity and is_pallas
+    if is_pallas and (cfg.reuse_bounce_order or primary_ident):
+        # Peel bounce 0 out of the scan.  With ``primary_identity`` it
+        # runs in scanline (identity) order — camera rays are already
+        # tile-coherent, so the u32 key sort AND the 64-byte-row
+        # gather are skipped once per frame.  With
+        # ``reuse_bounce_order`` its coherence permutation is reused
+        # by every later bounce (bounce origins are the previous hits,
+        # so spatial coherence persists; with
+        # coherent_bounce_sampling, directions and branch coins stay
+        # block-correlated too), saving one 921k-key u32 sort per
+        # later bounce.
+        step0 = make_bounce_step(
+            scene, cfg, fixed_order="identity" if primary_ident
+            else None)
         carry, stats0 = step0(init, bounce_samples[0])
-        o0, d0, *_ = carry
-        from prismarine_core_tpu.accel import packet as pk
-        _, _, _, order0, _ = pk._sort_pad_rays(
-            scene.bvh.lo[0], scene.bvh.hi[0],
-            jax.lax.stop_gradient(o0), jax.lax.stop_gradient(d0),
-            jnp.ones((r,)), mode=cfg.sort_mode)
-        step_rest = make_bounce_step(scene, cfg, fixed_order=order0)
-        carry, stats_rest = jax.lax.scan(
-            step_rest, carry, bounce_samples[1:])
+        if bounce_samples.shape[0] > 1:
+            if cfg.reuse_bounce_order:
+                o0, d0, *_ = carry
+                from prismarine_core_tpu.accel import packet as pk
+                _, _, _, order0, _ = pk._sort_pad_rays(
+                    scene.bvh.lo[0], scene.bvh.hi[0],
+                    jax.lax.stop_gradient(o0),
+                    jax.lax.stop_gradient(d0),
+                    jnp.ones((r,)), mode=cfg.sort_mode)
+                step_rest = make_bounce_step(scene, cfg,
+                                             fixed_order=order0)
+            else:
+                step_rest = make_bounce_step(scene, cfg)
+            carry, stats_rest = jax.lax.scan(
+                step_rest, carry, bounce_samples[1:])
+            stats = jnp.concatenate([stats0[None], stats_rest])
+        else:
+            stats = stats0[None]
         (_, _, _, radiance, _, _, miss_dir, miss_beta, miss_pdf) = carry
         radiance = _env_pickup(scene, cfg, radiance, miss_dir,
                                miss_beta, miss_pdf)
-        stats = jnp.concatenate([stats0[None], stats_rest])
         return radiance, stats
     step = make_bounce_step(scene, cfg)
     carry, stats = jax.lax.scan(step, init, bounce_samples)

@@ -106,3 +106,9 @@ class ProgressiveRenderer:
         (``markDirty(); build()``, ``Viewer.cpp:296-297``)."""
         self.scene = dataclasses.replace(
             self.scene).with_bvh(self.cfg.bvh_leaf_size)
+
+    def refit_bvh(self) -> None:
+        """Per-frame REFIT path for deforming geometry: re-union AABBs
+        over the frozen topology (``refit.comp``) — much cheaper than
+        rebuild_bvh when only vertices moved."""
+        self.scene = dataclasses.replace(self.scene).with_refit()

@@ -96,12 +96,22 @@ class RenderConfig:
     #: retire together.
     sort_rays: bool = False
     #: dense-cull implementation for the pallas intersector:
-    #: "pallas" = block-granular cull kernel (ops/pallas_cull.py): one
-    #: pass yields superblock candidates, front-to-back entry distances
-    #: AND the per-pair 8-bit block masks (deletes the round-3
-    #: _block_masks stage, 41 ms/query); "xla" = the round-3 two-stage
-    #: fallback (superblock scan + windowed mask refinement).
+    #: "pallas2" = TWO-LEVEL cull (round 5): dense slab kernel at
+    #: SUPERBLOCK granularity (1/8 the work of "pallas") + a
+    #: pair-driven block-refine kernel over the compacted survivors,
+    #: so block-level cull work scales with the candidate count
+    #: instead of O(rays x blocks); "pallas" = round-4 block-granular
+    #: dense cull kernel (ops/pallas_cull.py); "xla" = the round-3
+    #: two-stage fallback (superblock scan + windowed mask refinement).
     cull_impl: str = "pallas"
+    #: pair window of the two-level cull's refine kernel (pairs per
+    #: pallas_call in its while_loop)
+    cull_window: int = 4096
+    #: skip the coherence sort for PRIMARY (bounce-0) rays: camera rays
+    #: arrive in scanline order, which is already tile-coherent, so the
+    #: identity order saves the u32 key sort + the 64-byte-row gather
+    #: once per frame (pallas intersector only).
+    primary_identity: bool = False
     #: ray coherence sort variant (accel/packet.py:_sort_pad_rays):
     #: "full" (2-array u32 sort, round-3 default), "packed" (1-array
     #: sort, index packed into the key's low bits), "group" (sort

@@ -191,3 +191,69 @@ def test_karras_beats_median_splits():
     assert ratio < 0.9, (
         f"karras should cut traversal steps: {sk} vs {sm} "
         f"(ratio {ratio:.2f})")
+
+
+@pytest.mark.parametrize("topology", ["karras", "median"])
+def test_refit_bvh_after_perturbation(topology):
+    """refit_bvh re-unions AABBs over frozen topology: after a vertex
+    perturbation, every triangle stays contained and intersection
+    results match brute force on the moved soup."""
+    import dataclasses
+
+    from prismarine_core_tpu.accel.lbvh import refit_bvh
+
+    soup = _random_soup(200, capacity=256, seed=7)
+    bvh = build_bvh(soup, leaf_size=4, topology=topology)
+
+    rng = np.random.default_rng(8)
+    jitter = rng.normal(0, 0.15, np.asarray(soup.v0).shape
+                        ).astype(np.float32)
+    soup2 = dataclasses.replace(
+        soup,
+        v0=soup.v0 + jitter, v1=soup.v1 + jitter, v2=soup.v2 + jitter)
+    rbvh = refit_bvh(bvh, soup2)
+
+    # topology untouched
+    np.testing.assert_array_equal(np.asarray(rbvh.left),
+                                  np.asarray(bvh.left))
+    np.testing.assert_array_equal(np.asarray(rbvh.skip),
+                                  np.asarray(bvh.skip))
+    np.testing.assert_array_equal(np.asarray(rbvh.orig),
+                                  np.asarray(bvh.orig))
+
+    # containment on the MOVED vertices
+    lo, hi = np.asarray(rbvh.lo), np.asarray(rbvh.hi)
+    orig = np.asarray(rbvh.orig)
+    tv0, tv1, tv2 = map(np.asarray, (rbvh.tv0, rbvh.tv1, rbvh.tv2))
+    k, fl = rbvh.leaf_size, rbvh.first_leaf
+    parent = _parents(rbvh)
+    eps = 1e-4
+    for slot in range(len(orig)):
+        if orig[slot] < 0:
+            continue
+        tlo = np.minimum(np.minimum(tv0[slot], tv1[slot]), tv2[slot])
+        thi = np.maximum(np.maximum(tv0[slot], tv1[slot]), tv2[slot])
+        node = fl + slot // k
+        while True:
+            assert (lo[node] <= tlo + eps).all(), (slot, node)
+            assert (hi[node] >= thi - eps).all(), (slot, node)
+            if node == 0:
+                break
+            node = parent[node]
+
+    # traversal equivalence on the refit structure
+    rng = np.random.default_rng(9)
+    r = 256
+    o = jnp.asarray(rng.uniform(-8, 8, (r, 3)).astype(np.float32))
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    hb = intersect_closest_brute(soup2, o, d, block=64)
+    hv = intersect_closest_bvh(rbvh, soup2, o, d)
+    np.testing.assert_array_equal(np.asarray(hv.tri), np.asarray(hb.tri))
+
+    # the pallas packet path over a refit scene (Scene.with_refit)
+    from prismarine_core_tpu.accel.packet import (build_packet_set,
+                                                  intersect_closest_pallas)
+    ps = build_packet_set(rbvh)
+    hp = intersect_closest_pallas(rbvh, ps, soup2, o, d)
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))

@@ -150,6 +150,14 @@ def test_reuse_bounce_order_matches():
     dict(cull_impl="pallas", strategy="single"),
     dict(cull_impl="pallas", strategy="rounds", k_round=4),
     dict(cull_impl="xla", strategy="rounds", k_round=4),
+    dict(cull_impl="pallas2"),
+    dict(cull_impl="pallas2", pairs_per_step=8),
+    dict(cull_impl="pallas2", strategy="single", pairs_per_step=4),
+    dict(cull_impl="pallas2", strategy="rounds", k_round=4),
+    dict(cull_impl="pallas2", strategy="rounds", k_round=4,
+         stale_round_masks=True),
+    dict(cull_impl="pallas2", near_frac=0.4, pairs_per_step=2),
+    dict(cull_impl="pallas2", order="identity"),
 ])
 def test_pallas_variants_match_brute(kw):
     """Every cull/sort/strategy variant must produce identical hits:
@@ -191,7 +199,7 @@ def test_pallas_dead_lanes_culled():
     t_cap = jnp.where(alive, jnp.float32(1e4), 0.0)
 
     hb = intersect_closest_brute(soup, o, d, block=64)
-    for impl in ("pallas", "xla"):
+    for impl in ("pallas", "pallas2", "xla"):
         t, slot, _ = _run_packet_pallas(
             bvh.lo[0], bvh.hi[0], ps, o, d, t_cap, cull_impl=impl)
         tri = np.where(np.asarray(slot) >= 0,
@@ -229,6 +237,36 @@ def test_pairs_per_step_bit_identical(pps):
                                    pairs_per_step=pps)
     np.testing.assert_array_equal(np.asarray(spa) >= 0,
                                   np.asarray(s1a) >= 0)
+
+
+def test_primary_identity_order_matches():
+    """cfg.primary_identity traces bounce 0 in scanline (identity)
+    order; any order is valid, so the image must match the sorted
+    render exactly (up to coplanar-edge tie-breaks)."""
+    import dataclasses
+
+    from prismarine_core_tpu.models.camera import Camera
+    from prismarine_core_tpu.models.scene import make_cornell_scene
+    from prismarine_core_tpu.ops.sampling import make_sample_arrays
+    from prismarine_core_tpu.render.integrator import render_with_samples
+    from prismarine_core_tpu.utils.config import RenderConfig
+
+    scene = make_cornell_scene()
+    cam = Camera.look_at(eye=(0.0, 0.0, 3.4), target=(0.0, 0.0, 0.0),
+                         fov_y_deg=50.0)
+    for extra in (dict(), dict(cull_impl="pallas2", pairs_per_step=4),
+                  dict(max_bounces=1)):
+        cfg = RenderConfig(width=24, height=24, spp=1,
+                           intersector="pallas",
+                           **{"max_bounces": 3, **extra})
+        cam_s, bounce_s = make_sample_arrays(
+            jax.random.key(0), cfg.n_rays, cfg.max_bounces)
+        ref = np.asarray(render_with_samples(scene, cam, cfg, cam_s,
+                                             bounce_s))
+        cfg2 = dataclasses.replace(cfg, primary_identity=True)
+        img = np.asarray(render_with_samples(scene, cam, cfg2, cam_s,
+                                             bounce_s))
+        np.testing.assert_allclose(img, ref, atol=1e-4)
 
 
 def test_near_frac_round1_matches_brute():
