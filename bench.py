@@ -125,6 +125,16 @@ def main():
         _run_config("hall-720p-hdr-sky(independent)", scene, camera,
                     dataclasses.replace(cfg,
                                         coherent_bounce_sampling=False))
+        # TEXTURED hall: same geometry/config with real diffuse + bump
+        # textures (512^2, corner-packed) — exercises the full per-hit
+        # fetch cost of surface.comp:102-195 that the texture-less hall
+        # skips via the stub fast path (VERDICT r4 item 4)
+        tex_scene = make_hall_scene(target_tris=n_tris, textured=True)
+        tex_scene = dataclasses.replace(
+            tex_scene, environment=make_sky_environment(resolution=128))
+        tex_scene = jax.device_put(tex_scene)
+        _run_config("hall-720p-textured(coherent)", tex_scene, camera,
+                    cfg)
         # BASELINE config 2: teapot-class object at 512^2
         tcfg = RenderConfig(width=512, height=512, spp=1, max_bounces=4,
                             intersector="pallas", pairs_per_step=8,

@@ -1,0 +1,129 @@
+"""Round-5 A/B: two-level cull, identity primary order, strategy
+re-sweeps on the cheapened selection stages.
+
+Baseline = the round-4 PRODUCTION config (hall 137k tris, 720p,
+4 bounces, coherent 64x64 sampling, pps8, stale anyhit masks, anyhit
+"single"): 1,011 ms/frame = 3.19 Mrays/s.  Frame-level ms with forced
+readbacks, bench-style warmup, ONE process per tunnel session.
+
+Usage: python examples/r5_ab.py [n_tris] [--set NAME ...]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+
+import jax
+import numpy as np
+
+#: the round-4 production base — every variant patches on top of this
+BASE = dict(stale_round_masks=True, pairs_per_step=8,
+            anyhit_strategy="single")
+
+VARIANTS = {
+    # control: must reproduce BENCH_r04's 1,011 ms
+    "r4-prod": dict(),
+    # two-level cull alone
+    "r5-p2": dict(cull_impl="pallas2"),
+    # + identity primary order
+    "r5-p2-ident": dict(cull_impl="pallas2", primary_identity=True),
+    # selection-stage re-sweeps now that cull/refresh stages are cheap
+    "r5-p2-k12": dict(cull_impl="pallas2", primary_identity=True,
+                      closest_k=12),
+    "r5-p2-k16": dict(cull_impl="pallas2", primary_identity=True,
+                      closest_k=16),
+    "r5-p2-near40": dict(cull_impl="pallas2", primary_identity=True,
+                         near_frac=0.4),
+    "r5-p2-rounds8": dict(cull_impl="pallas2", primary_identity=True,
+                          closest_strategy="rounds", closest_k=8,
+                          stale_round_masks=False),
+    "r5-p2-rounds16": dict(cull_impl="pallas2", primary_identity=True,
+                           closest_strategy="rounds", closest_k=16,
+                           stale_round_masks=False),
+    "r5-p2-rounds8-stale": dict(cull_impl="pallas2",
+                                primary_identity=True,
+                                closest_strategy="rounds",
+                                closest_k=8),
+    # cull-window / pps sweeps
+    "r5-p2-cw8192": dict(cull_impl="pallas2", primary_identity=True,
+                         cull_window=8192),
+    "r5-p2-cw2048": dict(cull_impl="pallas2", primary_identity=True,
+                         cull_window=2048),
+    "r5-p2-pps16": dict(cull_impl="pallas2", primary_identity=True,
+                        pairs_per_step=16),
+    "r5-p2-pps4": dict(cull_impl="pallas2", primary_identity=True,
+                       pairs_per_step=4),
+    # identity order on the r4 cull (isolates the two effects)
+    "r4-ident": dict(primary_identity=True),
+    # anyhit back to rounds under p2 (refresh is cheap now)
+    "r5-p2-anyrounds": dict(cull_impl="pallas2", primary_identity=True,
+                            anyhit_strategy="rounds", anyhit_k=8,
+                            stale_round_masks=False),
+}
+
+
+def run_variant(name, scene, camera, cfg0, n_frames=3):
+    from prismarine_core_tpu.ops.sampling import make_coherent_sample_arrays
+    from prismarine_core_tpu.render.integrator import render_with_samples
+    opts = {**BASE, **VARIANTS[name]}
+    block = opts.pop("_block", (64, 64))
+    cfg = dataclasses.replace(cfg0, **opts)
+    cam_s, bounce_s = make_coherent_sample_arrays(
+        jax.random.key(0), cfg, block=block)
+    t0 = time.perf_counter()
+    img, stats = render_with_samples(scene, camera, cfg, cam_s, bounce_s,
+                                     with_stats=True)
+    mean = float(img.mean())
+    compile_s = time.perf_counter() - t0
+    stats = np.asarray(stats)
+    rays = int(stats[:, 0].sum() + stats[:, 4].sum())
+
+    img = render_with_samples(scene, camera, cfg, cam_s, bounce_s)
+    float(img.mean())
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        img = render_with_samples(scene, camera, cfg, cam_s, bounce_s)
+        float(img.mean())
+    dt = (time.perf_counter() - t0) / n_frames
+    print(f"[r5_ab] {name:24s} {dt*1e3:8.1f} ms/frame  "
+          f"{rays/dt/1e6:6.2f} Mrays/s  (mean={mean:.4f}, "
+          f"compile {compile_s:.0f}s, {rays:,} live rays)", flush=True)
+    return dt
+
+
+def main():
+    from prismarine_core_tpu.models.camera import Camera
+    from prismarine_core_tpu.models.procedural import (
+        make_hall_scene, make_sky_environment)
+    from prismarine_core_tpu.utils.config import RenderConfig
+
+    args = [a for a in sys.argv[1:] if a.isdigit()]
+    n_tris = int(args[0]) if args else 100_000
+    names = list(VARIANTS)
+    if "--set" in sys.argv:
+        names = sys.argv[sys.argv.index("--set") + 1:]
+
+    print(f"[r5_ab] devices={jax.devices()}", flush=True)
+    cfg = RenderConfig(width=1280, height=720, spp=1, max_bounces=4,
+                       intersector="pallas", bvh_leaf_size=4,
+                       coherent_bounce_sampling=True)
+    scene = make_hall_scene(target_tris=n_tris)
+    scene = dataclasses.replace(
+        scene, environment=make_sky_environment(resolution=128))
+    scene = jax.device_put(scene)
+    camera = Camera.look_at(eye=(-10.0, 2.2, 0.0), target=(6.0, 1.6, 0.0),
+                            fov_y_deg=60.0)
+    print(f"[r5_ab] scene tris={int(scene.triangles.num_valid())}",
+          flush=True)
+
+    for name in names:
+        if name not in VARIANTS:
+            print(f"[r5_ab] unknown variant {name}", flush=True)
+            continue
+        run_variant(name, scene, camera, cfg)
+
+
+if __name__ == "__main__":
+    main()

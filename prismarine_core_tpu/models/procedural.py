@@ -62,11 +62,70 @@ def _sphere_mesh(center, radius, rows, cols, mat_id):
     return verts, faces, np.full(len(faces), mat_id, np.int32)
 
 
+def _procedural_textures(resolution: int = 512, seed: int = 7):
+    """Deterministic diffuse + bump texture set for the textured bench
+    (value-noise octaves, load-time numpy): [checker floor, wall stone,
+    column marble, tangent-space normal map]."""
+    rng = np.random.default_rng(seed)
+    n = resolution
+
+    def fbm(octaves=5, base=8):
+        acc = np.zeros((n, n))
+        amp = 1.0
+        for o in range(octaves):
+            cells = base * (2 ** o)
+            g = rng.standard_normal((cells + 1, cells + 1))
+            g[-1, :] = g[0, :]
+            g[:, -1] = g[:, 0]                   # tileable
+            yy = np.linspace(0, cells, n, endpoint=False)
+            y0 = yy.astype(int)
+            fy = (yy - y0)[:, None]
+            fx = (yy - y0)[None, :]
+            a = g[np.ix_(y0, y0)]
+            b = g[np.ix_(y0, y0 + 1)]
+            c = g[np.ix_(y0 + 1, y0)]
+            d = g[np.ix_(y0 + 1, y0 + 1)]
+            acc += amp * ((a * (1 - fx) + b * fx) * (1 - fy)
+                          + (c * (1 - fx) + d * fx) * fy)
+            amp *= 0.5
+        acc -= acc.min()
+        return acc / max(acc.max(), 1e-6)
+
+    y = np.arange(n)
+    checker = ((y[:, None] // (n // 8) + y[None, :] // (n // 8)) % 2
+               ).astype(np.float64)
+    floor = (0.35 + 0.3 * checker + 0.2 * fbm())[..., None] \
+        * np.array([1.0, 0.93, 0.82])
+    wall = (0.45 + 0.4 * fbm(base=4))[..., None] \
+        * np.array([0.95, 0.9, 0.85])
+    marble = (0.5 + 0.45 * np.abs(
+        np.sin(6.0 * np.pi * (y[None, :] / n + 0.6 * fbm(base=2)))
+    ))[..., None] * np.array([0.9, 0.88, 0.85])
+
+    height = fbm(base=6)
+    dhdx = np.roll(height, -1, 1) - np.roll(height, 1, 1)
+    dhdy = np.roll(height, -1, 0) - np.roll(height, 1, 0)
+    nrm = np.stack([-dhdx * 4.0, -dhdy * 4.0, np.ones_like(height)], -1)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    bump = nrm * 0.5 + 0.5
+    return [floor.astype(np.float32), wall.astype(np.float32),
+            marble.astype(np.float32), bump.astype(np.float32)]
+
+
 def make_hall_scene(target_tris: int = 100_000, seed: int = 0,
                     capacity: int | None = None,
-                    build_bvh: bool = True) -> Scene:
+                    build_bvh: bool = True,
+                    textured: bool = False,
+                    texture_resolution: int = 512,
+                    pack_corners: bool = True) -> Scene:
     """Colonnaded hall: floor + walls, two rows of segmented columns,
-    sphere clutter — scaled to roughly ``target_tris`` triangles."""
+    sphere clutter — scaled to roughly ``target_tris`` triangles.
+
+    ``textured=True`` adds procedural diffuse + tangent-space bump
+    textures on floor/walls/columns with oblique box-projected UVs —
+    the textured BENCH config, exercising the full per-hit fetch cost
+    of ``surface.comp:102-195`` (4 texture kinds x bilinear corners)
+    that the texture-less hall skips via the stub fast path."""
     rng = np.random.default_rng(seed)
     parts = []
 
@@ -105,12 +164,25 @@ def make_hall_scene(target_tris: int = 100_000, seed: int = 0,
                                   2 * rows, mat_id=3 + int(rng.integers(3))))
 
     verts, faces, mids = merge_meshes(parts)
+    texcoords = None
+    if textured:
+        # oblique planar projection: non-degenerate UV derivatives for
+        # every wall/floor/column orientation from ONE per-vertex map
+        texcoords = np.stack(
+            [0.25 * (verts[:, 0] + 0.3 * verts[:, 2]),
+             0.25 * (verts[:, 1] + 0.7 * verts[:, 2])],
+            axis=1).astype(np.float32)
     soup = TriangleSoup.from_arrays(verts, faces, mat_ids=mids,
+                                    texcoords=texcoords,
                                     capacity=capacity)
+    tex = {} if not textured else {"tex_bump": 3}
     mats = MaterialTable.build([
-        {"diffuse": (0.55, 0.5, 0.45), "roughness": 0.6},          # floor
-        {"diffuse": (0.6, 0.55, 0.5)},                              # walls
-        {"diffuse": (0.7, 0.68, 0.62), "roughness": 0.4},           # columns
+        {"diffuse": (0.55, 0.5, 0.45), "roughness": 0.6,            # floor
+         **({"tex_diffuse": 0, **tex} if textured else {})},
+        {"diffuse": (0.6, 0.55, 0.5),                               # walls
+         **({"tex_diffuse": 1, **tex} if textured else {})},
+        {"diffuse": (0.7, 0.68, 0.62), "roughness": 0.4,            # columns
+         **({"tex_diffuse": 2, **tex} if textured else {})},
         {"diffuse": (0.7, 0.3, 0.25), "roughness": 0.3,
          "metallic": 0.1},
         {"diffuse": (0.3, 0.5, 0.7), "roughness": 0.2,
@@ -118,9 +190,18 @@ def make_hall_scene(target_tris: int = 100_000, seed: int = 0,
         {"diffuse": (0.8, 0.75, 0.3), "roughness": 0.1,
          "metallic": 0.9},
     ])
+    textures = None
+    if textured:
+        from prismarine_core_tpu.models.textures import TextureStack
+        textures = TextureStack.from_images(
+            _procedural_textures(texture_resolution),
+            resolution=texture_resolution)
+        if pack_corners:
+            textures = textures.with_packed_corners()
     scene = Scene.assemble(
         soup, mats, SphereLights.suns(),
         Environment.constant((0.35, 0.45, 0.65)),
+        textures=textures,
         build_bvh=build_bvh)
     return scene
 

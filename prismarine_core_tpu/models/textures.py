@@ -30,6 +30,15 @@ class TextureStack:
     #: native-size handles (``TextureSet.inl:15-38``), which a fixed
     #: resample was silently degrading (VERDICT r3 missing 6).
     sizes: jax.Array | None = None
+    #: f32[N, Hmax, Wmax, 16] optional CORNER-PACKED texel quads:
+    #: entry (i, y, x) holds the four bilinear corner texels
+    #: [(y,x), (y,x+1), (y+1,x), (y+1,x+1)] (wrap at each texture's
+    #: NATIVE size) concatenated on the channel axis, so one bilinear
+    #: fetch is ONE [R]-row gather instead of four — TPU row gathers
+    #: carry a fixed per-gather cost, and the 4 kinds x 4 corners per
+    #: hit were ~28% of a textured frame (PERF r4 item 12).  4x texture
+    #: memory; build with ``with_packed_corners()``.
+    quad: jax.Array | None = None
     #: STATIC (jit-meta) marker for the all-white placeholder stack:
     #: texture-less scenes let the integrator skip every fetch at
     #: trace time (the results are identical — ids are all -1 — the
@@ -81,9 +90,28 @@ class TextureStack:
         return TextureStack(data=jnp.asarray(out),
                             sizes=jnp.asarray(sizes))
 
+    def with_packed_corners(self) -> "TextureStack":
+        """Precompute the corner-packed quad array (load-time numpy):
+        one row gather per bilinear fetch instead of four."""
+        data = np.asarray(self.data)
+        n, h, w, _ = data.shape
+        sizes = (np.asarray(self.sizes) if self.sizes is not None
+                 else np.tile(np.asarray([[w, h]], np.int32), (n, 1)))
+        quad = np.empty((n, h, w, 16), np.float32)
+        for i in range(n):
+            wi, hi = int(sizes[i, 0]), int(sizes[i, 1])
+            img = data[i, :hi, :wi]
+            xp = np.roll(img, -1, axis=1)       # (y, x+1), native wrap
+            yp = np.roll(img, -1, axis=0)       # (y+1, x)
+            xyp = np.roll(xp, -1, axis=0)       # (y+1, x+1)
+            quad[i, :hi, :wi] = np.concatenate([img, xp, yp, xyp], -1)
+            quad[i, hi:, :] = 1.0
+            quad[i, :, wi:] = 1.0
+        return dataclasses.replace(self, quad=jnp.asarray(quad))
+
 
 jax.tree_util.register_dataclass(TextureStack,
-                                 data_fields=["data", "sizes"],
+                                 data_fields=["data", "sizes", "quad"],
                                  meta_fields=["stub"])
 
 
@@ -123,12 +151,18 @@ def sample_bilinear(stack: TextureStack, tex_id: jax.Array, uv: jax.Array) -> ja
     fy = (y - y0)[:, None]
     x0i = jnp.mod(x0.astype(jnp.int32), wi)
     y0i = jnp.mod(y0.astype(jnp.int32), hi)
-    x1i = jnp.mod(x0i + 1, wi)
-    y1i = jnp.mod(y0i + 1, hi)
-    c00 = stack.data[tid, y0i, x0i]
-    c10 = stack.data[tid, y0i, x1i]
-    c01 = stack.data[tid, y1i, x0i]
-    c11 = stack.data[tid, y1i, x1i]
+    if stack.quad is not None:
+        # corner-packed path: ONE row gather yields all four texels
+        q = stack.quad[tid, y0i, x0i]                     # [R, 16]
+        c00, c10, c01, c11 = (q[:, 0:4], q[:, 4:8],
+                              q[:, 8:12], q[:, 12:16])
+    else:
+        x1i = jnp.mod(x0i + 1, wi)
+        y1i = jnp.mod(y0i + 1, hi)
+        c00 = stack.data[tid, y0i, x0i]
+        c10 = stack.data[tid, y0i, x1i]
+        c01 = stack.data[tid, y1i, x0i]
+        c11 = stack.data[tid, y1i, x1i]
     col = ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
            + (c01 * (1 - fx) + c11 * fx) * fy)
     return jnp.where(tex_id[:, None] < 0, jnp.ones_like(col), col)

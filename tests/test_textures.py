@@ -256,3 +256,57 @@ def test_native_resolution_stack():
     # bicubic path works with the size table too
     out = sample_bicubic(stack, jnp.ones(16, jnp.int32), uv[:16])
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_packed_corners_matches_unpacked():
+    """with_packed_corners() must reproduce bilinear fetches exactly:
+    it only re-packages the same four corner texels into one row."""
+    import numpy as np
+
+    from prismarine_core_tpu.models.textures import (TextureStack,
+                                                     sample_bilinear)
+    rng = np.random.default_rng(3)
+    imgs = [rng.random((17, 23, 3)).astype(np.float32),
+            rng.random((32, 32, 4)).astype(np.float32)]
+    stack = TextureStack.from_images(imgs, resolution=64)
+    packed = stack.with_packed_corners()
+    tid = jnp.asarray(rng.integers(-1, 2, 500), jnp.int32)
+    uv = jnp.asarray(rng.uniform(-2, 3, (500, 2)).astype(np.float32))
+    a = sample_bilinear(stack, tid, uv)
+    b = sample_bilinear(packed, tid, uv)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_textured_hall_scene_renders():
+    """The textured bench scene: non-stub stack, packed corners, bump
+    mapping active; must render non-trivially and match the unpacked
+    texture path."""
+    import dataclasses
+
+    import numpy as np
+
+    from prismarine_core_tpu.models.camera import Camera
+    from prismarine_core_tpu.models.procedural import make_hall_scene
+    from prismarine_core_tpu.ops.sampling import make_sample_arrays
+    from prismarine_core_tpu.render.integrator import render_with_samples
+    from prismarine_core_tpu.utils.config import RenderConfig
+
+    scene = make_hall_scene(target_tris=3000, textured=True,
+                            texture_resolution=64)
+    assert not scene.textures.stub
+    assert scene.textures.quad is not None
+    cam = Camera.look_at(eye=(-10.0, 2.2, 0.0), target=(6.0, 1.6, 0.0),
+                         fov_y_deg=60.0)
+    cfg = RenderConfig(width=32, height=24, spp=1, max_bounces=2,
+                       intersector="pallas")
+    cam_s, bounce_s = make_sample_arrays(jax.random.key(0), cfg.n_rays,
+                                         cfg.max_bounces)
+    img = np.asarray(render_with_samples(scene, cam, cfg, cam_s,
+                                         bounce_s))
+    assert np.isfinite(img).all() and img.mean() > 1e-2
+    # packed corners change nothing but the gather count
+    unpacked = dataclasses.replace(
+        scene, textures=dataclasses.replace(scene.textures, quad=None))
+    img2 = np.asarray(render_with_samples(unpacked, cam, cfg, cam_s,
+                                          bounce_s))
+    np.testing.assert_allclose(img, img2, atol=1e-5)
