@@ -44,6 +44,16 @@ class TextureStack:
     #: trace time (the results are identical — ids are all -1 — the
     #: gathers and filters just never get emitted).
     stub: bool = False
+    #: STATIC device mesh marker: when set, ``data``/``quad`` are
+    #: sharded over the mesh's 'model' axis (texture index leads) and
+    #: every fetch runs as a shard-local gather + one
+    #: ``psum('model')`` — exactly one shard owns each id, so the sum
+    #: IS the fetch.  Texture residency then scales 1/mp like the
+    #: geometry (``parallel/shard_intersect.py:distribute_scene``),
+    #: replacing the reference's bindless residency
+    #: (``TextureSet.inl:15-38``) at multi-device scale.  ``sizes``
+    #: stays replicated (tiny).
+    mesh: object = None
 
     @property
     def count(self) -> int:
@@ -112,7 +122,33 @@ class TextureStack:
 
 jax.tree_util.register_dataclass(TextureStack,
                                  data_fields=["data", "sizes", "quad"],
-                                 meta_fields=["stub"])
+                                 meta_fields=["stub", "mesh"])
+
+
+def _sharded_texel_rows(mesh, arr, tid, y, x):
+    """Row gather from a 'model'-sharded texture array: each shard
+    gathers the rows it OWNS (global id in its slab), contributes zeros
+    elsewhere, and one psum('model') assembles the result (rays stay
+    sharded over 'data').  The multi-device analog of a bindless handle
+    dereference."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    def local(a, tid, y, x):
+        nl = a.shape[0]
+        base = jax.lax.axis_index("model") * nl
+        lid = tid - base
+        own = (lid >= 0) & (lid < nl)
+        rows = a[jnp.where(own, lid, 0), y, x]
+        return jax.lax.psum(jnp.where(own[:, None], rows, 0.0), "model")
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P("model"), P("data"), P("data"), P("data")),
+        out_specs=P("data"), check_vma=False)(arr, tid, y, x)
 
 
 def _tex_size(stack: TextureStack, tid):
@@ -151,18 +187,24 @@ def sample_bilinear(stack: TextureStack, tex_id: jax.Array, uv: jax.Array) -> ja
     fy = (y - y0)[:, None]
     x0i = jnp.mod(x0.astype(jnp.int32), wi)
     y0i = jnp.mod(y0.astype(jnp.int32), hi)
+    if stack.mesh is not None:
+        def fetch(arr, y, x):
+            return _sharded_texel_rows(stack.mesh, arr, tid, y, x)
+    else:
+        def fetch(arr, y, x):
+            return arr[tid, y, x]
     if stack.quad is not None:
         # corner-packed path: ONE row gather yields all four texels
-        q = stack.quad[tid, y0i, x0i]                     # [R, 16]
+        q = fetch(stack.quad, y0i, x0i)                   # [R, 16]
         c00, c10, c01, c11 = (q[:, 0:4], q[:, 4:8],
                               q[:, 8:12], q[:, 12:16])
     else:
         x1i = jnp.mod(x0i + 1, wi)
         y1i = jnp.mod(y0i + 1, hi)
-        c00 = stack.data[tid, y0i, x0i]
-        c10 = stack.data[tid, y0i, x1i]
-        c01 = stack.data[tid, y1i, x0i]
-        c11 = stack.data[tid, y1i, x1i]
+        c00 = fetch(stack.data, y0i, x0i)
+        c10 = fetch(stack.data, y0i, x1i)
+        c01 = fetch(stack.data, y1i, x0i)
+        c11 = fetch(stack.data, y1i, x1i)
     col = ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
            + (c01 * (1 - fx) + c11 * fx) * fy)
     return jnp.where(tex_id[:, None] < 0, jnp.ones_like(col), col)

@@ -315,19 +315,29 @@ def constrain_packets(sp: ShardedPackets, mesh: Mesh) -> ShardedPackets:
         for f in dataclasses.fields(sp)})
 
 
-def distribute_scene(scene, mesh: Mesh, shard_soup: bool = True):
+def distribute_scene(scene, mesh: Mesh, shard_soup: bool = True,
+                     shard_textures: bool = True):
     """Scene -> mesh-distributed Scene for ``intersector='pallas_sharded'``.
 
     The packet structures (planes, AABBs, slot maps, re-eval vertices
     AND the slot-ordered shading attributes) shard over 'model';
-    materials/lights/textures (small) replicate.  With ``shard_soup``
-    (default) the replicated TriangleSoup is reduced to an 8-row husk —
+    materials/lights (small) replicate.  With ``shard_soup`` (default)
+    the replicated TriangleSoup is reduced to an 8-row husk —
     the sharded query interpolates surfaces shard-locally and carries
     them through the min-reduce, so nothing reads it — and per-device
     TOTAL scene bytes scale ~1/mp (tests/test_parallel.py asserts via
     ``addressable_shards``).  ``shard_soup=False`` keeps the full soup
     replicated for flows that use it as host-side state (e.g. the
     training loop, whose PARAMETERS are the vertex arrays).
+
+    ``shard_textures`` (default, no-op on stub stacks): partition the
+    texture stack's ``data``/``quad`` over 'model' on the texture-index
+    axis (padded with white to a multiple of mp) and mark the stack so
+    every fetch runs shard-local + one psum('model')
+    (models/textures.py:_sharded_texel_rows) — texture residency then
+    scales 1/mp too, closing the one array family that used to
+    replicate (VERDICT r4 item 6; reference analog: bindless residency,
+    ``TextureSet.inl:15-38``).
     """
     mp = mesh.shape["model"]
     sp = shard_packets(
@@ -339,9 +349,35 @@ def distribute_scene(scene, mesh: Mesh, shard_soup: bool = True):
             lambda x: jnp.zeros((8,) + x.shape[1:], x.dtype),
             scene.triangles)
         scene = dataclasses.replace(scene, triangles=husk)
+    tex = scene.textures
+    shard_tex = (shard_textures and tex is not None
+                 and not getattr(tex, "stub", False))
+    if shard_tex:
+        scene = dataclasses.replace(scene, textures=None)
     scene = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, repl),
         dataclasses.replace(scene, packets=None, bvh=None))
+    if shard_tex:
+        npad = (-tex.count) % mp
+        model = NamedSharding(mesh, P("model"))
+
+        def pad_put(arr):
+            if arr is None:
+                return None
+            if npad:
+                arr = jnp.concatenate(
+                    [arr, jnp.ones((npad,) + arr.shape[1:], arr.dtype)])
+            return jax.device_put(arr, model)
+
+        sizes = tex.sizes
+        if sizes is not None and npad:
+            sizes = jnp.concatenate(
+                [sizes, jnp.ones((npad, 2), jnp.int32)])
+        tex = dataclasses.replace(
+            tex, data=pad_put(tex.data), quad=pad_put(tex.quad),
+            sizes=None if sizes is None else jax.device_put(sizes, repl),
+            mesh=mesh)
+        scene = dataclasses.replace(scene, textures=tex)
     return dataclasses.replace(scene, packets=sp, bvh=None)
 
 

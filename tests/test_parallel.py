@@ -427,3 +427,40 @@ def test_distributed_scene_total_memory_scales():
     repl_bytes = per_dev - sharded_bytes
     # replicated residue (materials/lights/textures/env/husk) is small
     assert repl_bytes < 0.1 * single_total, (repl_bytes, single_total)
+
+
+def test_sharded_textures_match_and_scale():
+    """VERDICT r4 item 6: texture residency shards over 'model' — the
+    full textured frame matches the single-device render bit-for-bit
+    (each id is owned by exactly one shard; the psum IS the fetch) and
+    per-device texture bytes are ~1/mp of the stack."""
+    import dataclasses
+
+    from prismarine_core_tpu.models.procedural import make_hall_scene
+    from prismarine_core_tpu.parallel.shard_intersect import (
+        distribute_scene)
+
+    scene = make_hall_scene(target_tris=2000, textured=True,
+                            texture_resolution=32)
+    cam = Camera.look_at(eye=(-10.0, 2.2, 0.0), target=(6.0, 1.6, 0.0),
+                         fov_y_deg=60.0)
+    cfg = RenderConfig(width=32, height=24, spp=1, max_bounces=2,
+                       intersector="pallas")
+    cam_s, bounce_s = make_sample_arrays(
+        jax.random.key(0), cfg.n_rays, cfg.max_bounces)
+    ref = np.asarray(render_with_samples(scene, cam, cfg, cam_s,
+                                         bounce_s))
+
+    mp = 2
+    mesh = make_mesh(8, model_parallel=mp)
+    dscene = distribute_scene(scene, mesh)
+    tex = dscene.textures
+    assert tex.mesh is mesh
+    for arr in (tex.data, tex.quad):
+        per_dev = arr.addressable_shards[0].data.nbytes
+        assert per_dev * mp <= arr.nbytes + 1024, (per_dev, arr.nbytes)
+    cfg_sh = dataclasses.replace(cfg, intersector="pallas_sharded",
+                                 mesh=mesh)
+    img = np.asarray(render_with_samples(dscene, cam, cfg_sh, cam_s,
+                                         bounce_s))
+    np.testing.assert_allclose(img, ref, rtol=1e-4, atol=1e-5)
