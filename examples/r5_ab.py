@@ -61,6 +61,17 @@ VARIANTS = {
     "r5-p2-anyrounds": dict(cull_impl="pallas2", primary_identity=True,
                             anyhit_strategy="rounds", anyhit_k=8,
                             stale_round_masks=False),
+    # MIXED production candidate: p2 closest (tighter round-2 masks
+    # under tightened caps), p1 any-hit (single compaction, no refine)
+    "r5-mixed-k16": dict(cull_impl="pallas2", anyhit_cull_impl="pallas",
+                         closest_k=16),
+    "r5-mixed-k8": dict(cull_impl="pallas2", anyhit_cull_impl="pallas"),
+    "r5-mixed-k16-cw8k": dict(cull_impl="pallas2",
+                              anyhit_cull_impl="pallas", closest_k=16,
+                              cull_window=8192),
+    "r5-mixed-k16-w4k": dict(cull_impl="pallas2",
+                             anyhit_cull_impl="pallas", closest_k=16,
+                             kernel_window=4096),
 }
 
 
@@ -109,7 +120,9 @@ def main():
     cfg = RenderConfig(width=1280, height=720, spp=1, max_bounces=4,
                        intersector="pallas", bvh_leaf_size=4,
                        coherent_bounce_sampling=True)
-    scene = make_hall_scene(target_tris=n_tris)
+    textured = "--textured" in sys.argv
+    scene = make_hall_scene(target_tris=n_tris, textured=textured,
+                            pack_corners="--nopack" not in sys.argv)
     scene = dataclasses.replace(
         scene, environment=make_sky_environment(resolution=128))
     scene = jax.device_put(scene)

@@ -44,7 +44,9 @@ from prismarine_core_tpu.utils.config import GAP, INF_DIST, RenderConfig
 
 def _pallas_kwargs(cfg: RenderConfig, any_hit: bool) -> dict:
     """Map RenderConfig's pallas knobs to _run_packet_pallas kwargs."""
-    kw = dict(cull_impl=cfg.cull_impl, sort_mode=cfg.sort_mode,
+    cull = (cfg.anyhit_cull_impl or cfg.cull_impl) if any_hit \
+        else cfg.cull_impl
+    kw = dict(cull_impl=cull, sort_mode=cfg.sort_mode,
               recull=cfg.recull,
               stale_round_masks=cfg.stale_round_masks,
               pairs_per_step=cfg.pairs_per_step,

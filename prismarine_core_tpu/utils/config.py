@@ -107,6 +107,13 @@ class RenderConfig:
     #: pair window of the two-level cull's refine kernel (pairs per
     #: pallas_call in its while_loop)
     cull_window: int = 4096
+    #: cull_impl override for ANY-HIT queries ("" = same as cull_impl).
+    #: Measured r5: the two-level cull wins two_round closest queries
+    #: (tighter round-2 masks under tightened caps) but LOSES on the
+    #: any-hit "single" strategy (its one dense compaction gets the
+    #: extra refine stage + mask-0 pairs without any round structure to
+    #: pay it back) — production uses pallas2 closest / pallas any-hit.
+    anyhit_cull_impl: str = ""
     #: skip the coherence sort for PRIMARY (bounce-0) rays: camera rays
     #: arrive in scanline order, which is already tile-coherent, so the
     #: identity order saves the u32 key sort + the 64-byte-row gather
