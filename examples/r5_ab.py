@@ -72,6 +72,14 @@ VARIANTS = {
     "r5-mixed-k16-w4k": dict(cull_impl="pallas2",
                              anyhit_cull_impl="pallas", closest_k=16,
                              kernel_window=4096),
+    # clean p2 sweeps (no identity-order contamination)
+    "r5-p2-k16c": dict(cull_impl="pallas2", closest_k=16),
+    "r5-p2-k12c": dict(cull_impl="pallas2", closest_k=12),
+    "r5-p2-cw8kc": dict(cull_impl="pallas2", cull_window=8192),
+    "r5-p2-k16-cw8kc": dict(cull_impl="pallas2", closest_k=16,
+                            cull_window=8192),
+    "r5-p2-near40c": dict(cull_impl="pallas2", near_frac=0.4),
+    "r5-p2-pps16c": dict(cull_impl="pallas2", pairs_per_step=16),
 }
 
 
