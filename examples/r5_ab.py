@@ -80,6 +80,12 @@ VARIANTS = {
                             cull_window=8192),
     "r5-p2-near40c": dict(cull_impl="pallas2", near_frac=0.4),
     "r5-p2-pps16c": dict(cull_impl="pallas2", pairs_per_step=16),
+    # current best + the 16x8-pixel-tile primary lane order
+    "r5-best": dict(cull_impl="pallas2", closest_k=16,
+                    cull_window=8192),
+    "r5-best-tile": dict(cull_impl="pallas2", closest_k=16,
+                         cull_window=8192, primary_tile_order=True),
+    "r5-tile-only": dict(primary_tile_order=True),
 }
 
 

@@ -148,7 +148,8 @@ def main():
     o, d = generate_rays(cam, cfg, cam_s)
     t_cap = jnp.full((o.shape[0],), INF_DIST)
     key = jax.random.key(1)
-    hp = o + jax.random.uniform(key, (o.shape[0], 1), 2.0, 14.0) * d
+    hp = o + jax.random.uniform(key, (o.shape[0], 1), minval=2.0,
+                                maxval=14.0) * d
     di = jax.random.normal(jax.random.key(2), o.shape)
     di = di / jnp.linalg.norm(di, axis=-1, keepdims=True)
 

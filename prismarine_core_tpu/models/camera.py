@@ -45,6 +45,45 @@ class Camera:
         return fwd, right, cup
 
 
+def tile_order_active(cfg: RenderConfig) -> bool:
+    """Whether cfg.primary_tile_order applies (pallas path, divisible
+    frame)."""
+    return (cfg.primary_tile_order and cfg.intersector == "pallas"
+            and cfg.width % 16 == 0 and cfg.height % 8 == 0)
+
+
+def _tile_pixel_perm_np(w: int, h: int):
+    """(perm, inv) numpy pair: lane -> pixel / pixel -> lane for the
+    16x8-pixel-tile lane order (pure host-side constants; kept numpy so
+    callers inside jit capture them as literals)."""
+    import numpy as np
+    tw, th = 16, 8
+    y = np.arange(h)
+    x = np.arange(w)
+    yy, xx = np.meshgrid(y, x, indexing="ij")
+    key = (((yy // th) * (w // tw) + xx // tw) * (th * tw)
+           + (yy % th) * tw + (xx % tw))
+    perm = np.empty(h * w, np.int32)
+    perm[key.reshape(-1)] = np.arange(h * w, dtype=np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(h * w, dtype=np.int32)
+    return perm, inv
+
+
+def tile_pixel_perm(cfg: RenderConfig) -> jax.Array:
+    """Static lane -> pixel map grouping pixels into 16x8-PIXEL tiles
+    (row-major tiles, row-major within): each 128-lane packet tile of
+    the intersector becomes a compact screen rect instead of a 128x1
+    scanline strip (cfg.primary_tile_order).  i32[H*W] constant."""
+    return jnp.asarray(_tile_pixel_perm_np(cfg.width, cfg.height)[0])
+
+
+def tile_pixel_inv_perm(cfg: RenderConfig) -> jax.Array:
+    """Inverse of ``tile_pixel_perm``: pixel -> lane, for the one
+    per-frame radiance unpermute."""
+    return jnp.asarray(_tile_pixel_perm_np(cfg.width, cfg.height)[1])
+
+
 def generate_rays(
     camera: Camera,
     cfg: RenderConfig,
@@ -54,13 +93,17 @@ def generate_rays(
     with R = spp*H*W laid out as [spp, H, W] flattened (row-major).
 
     Pixel jitter matches ``camera.comp:35`` (uniform in the pixel footprint,
-    clamped away from the borders).
+    clamped away from the borders).  With ``cfg.primary_tile_order``
+    lanes map to pixels through the 16x8-tile permutation instead of
+    scanline order (the caller unpermutes the radiance once per frame).
     """
     w, h, spp = cfg.width, cfg.height, cfg.spp
     n = spp * h * w
     assert cam_samples.shape[0] == n
 
     pix = jnp.arange(n, dtype=jnp.int32) % (h * w)
+    if tile_order_active(cfg):
+        pix = tile_pixel_perm(cfg)[pix]
     px = (pix % w).astype(jnp.float32)
     py = (pix // w).astype(jnp.float32)
 

@@ -69,6 +69,13 @@ def make_coherent_sample_arrays(key: jax.Array, cfg, block=(8, 16)):
     by = jnp.arange(cfg.height, dtype=jnp.int32) // bh
     bx = jnp.arange(cfg.width, dtype=jnp.int32) // bw
     bid = (by[:, None] * nbx + bx[None, :]).reshape(-1)   # [H*W]
+    from prismarine_core_tpu.models.camera import (tile_order_active,
+                                                   tile_pixel_perm)
+    if tile_order_active(cfg):
+        # lanes map to pixels through the 16x8-tile permutation; the
+        # block id must follow the lane's PIXEL so correlation blocks
+        # stay screen rects
+        bid = bid[tile_pixel_perm(cfg)]
     bounce = ub[:, :, bid, :].reshape(
         cfg.max_bounces, cfg.n_rays, SAMPLES_PER_BOUNCE)
     return cam, bounce

@@ -527,8 +527,10 @@ def trace(scene: Scene, cfg: RenderConfig, o, d, bounce_samples,
         jnp.zeros((r, 3), jnp.float32),                   # miss beta
         jnp.zeros((r,), jnp.float32),                     # miss bsdf pdf
     )
+    from prismarine_core_tpu.models.camera import tile_order_active
     is_pallas = cfg.intersector == "pallas"
-    primary_ident = cfg.primary_identity and is_pallas
+    primary_ident = (cfg.primary_identity
+                     or tile_order_active(cfg)) and is_pallas
     if is_pallas and (cfg.reuse_bounce_order or primary_ident):
         # Peel bounce 0 out of the scan.  With ``primary_identity`` it
         # runs in scanline (identity) order — camera rays are already
@@ -593,13 +595,24 @@ def render_with_samples(
     ``with_stats=True`` additionally returns i32[bounces, 5] per-bounce
     lane counters [entering, surface, env-miss, surviving, NEE-shadow].
     """
+    from prismarine_core_tpu.models.camera import (tile_order_active,
+                                                   tile_pixel_inv_perm,
+                                                   tile_pixel_perm)
+    tile_order = tile_order_active(cfg)
     o, d = generate_rays(camera, cfg, cam_samples)
     active = None
     if cfg.interlace:
         mask = interlace_mask(cfg, interlace_stage).reshape(-1)
+        if tile_order:
+            mask = mask[tile_pixel_perm(cfg)]
         active = jnp.tile(mask, cfg.spp)
     radiance, stats = trace(scene, cfg, o, d, bounce_samples,
                             active=active)
+    if tile_order:
+        # lanes ran in 16x8-pixel-tile order; ONE gather restores
+        # pixel (scanline) order before the image reshape
+        radiance = radiance.reshape(
+            cfg.spp, -1, 3)[:, tile_pixel_inv_perm(cfg), :]
     img = radiance.reshape(cfg.spp, cfg.height, cfg.width, 3)
     img = jnp.mean(img, axis=0)
     if with_stats:

@@ -117,8 +117,18 @@ class RenderConfig:
     #: skip the coherence sort for PRIMARY (bounce-0) rays: camera rays
     #: arrive in scanline order, which is already tile-coherent, so the
     #: identity order saves the u32 key sort + the 64-byte-row gather
-    #: once per frame (pallas intersector only).
+    #: once per frame (pallas intersector only).  Measured r5: a LOSS —
+    #: scanline tiles are 128x1 strips whose frusta overlap far more
+    #: superblocks than Morton-sorted tiles.  See primary_tile_order.
     primary_identity: bool = False
+    #: generate PRIMARY rays directly in 16x8-PIXEL-TILE order (lane
+    #: tile = a compact screen rect instead of a 128x1 scanline strip)
+    #: and run bounce 0 sort-free: the coherence the u32 sort buys for
+    #: camera rays, at the cost of one constant-index pixel remap +
+    #: one radiance unpermute per FRAME.  Requires width % 16 == 0 and
+    #: height % 8 == 0 (falls back to scanline order otherwise);
+    #: pallas intersector only.
+    primary_tile_order: bool = False
     #: ray coherence sort variant (accel/packet.py:_sort_pad_rays):
     #: "full" (2-array u32 sort, round-3 default), "packed" (1-array
     #: sort, index packed into the key's low bits), "group" (sort

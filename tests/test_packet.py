@@ -329,3 +329,40 @@ def test_pallas_cull_packed_layout_matches_reference():
     tnc = np.where(hit, tn0, INF_DIST)
     ref = tnc.reshape(nt, 128, nb).min(axis=1)
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_primary_tile_order_matches():
+    """cfg.primary_tile_order regroups lanes into 16x8-pixel tiles and
+    runs bounce 0 sort-free; with lane-constant samples the image must
+    match the scanline render exactly (the remap only changes
+    EXECUTION grouping, and the final unpermute restores pixels)."""
+    import dataclasses
+
+    from prismarine_core_tpu.models.camera import Camera
+    from prismarine_core_tpu.models.scene import make_cornell_scene
+    from prismarine_core_tpu.render.integrator import render_with_samples
+    from prismarine_core_tpu.utils.config import RenderConfig
+
+    scene = make_cornell_scene()
+    cam = Camera.look_at(eye=(0.0, 0.0, 3.4), target=(0.0, 0.0, 0.0),
+                         fov_y_deg=50.0)
+    cfg = RenderConfig(width=32, height=24, spp=1, max_bounces=3,
+                       intersector="pallas")
+    cam_s = jnp.full((cfg.n_rays, 4), 0.5)
+    bounce_s = jnp.full((cfg.max_bounces, cfg.n_rays, 10), 0.37)
+    ref = np.asarray(render_with_samples(scene, cam, cfg, cam_s,
+                                         bounce_s))
+    cfg2 = dataclasses.replace(cfg, primary_tile_order=True)
+    img = np.asarray(render_with_samples(scene, cam, cfg2, cam_s,
+                                         bounce_s))
+    np.testing.assert_allclose(img, ref, atol=1e-5)
+
+    # coherent sampling path: block ids must follow the remap (smoke +
+    # finite)
+    from prismarine_core_tpu.ops.sampling import (
+        make_coherent_sample_arrays)
+    cfg3 = dataclasses.replace(cfg2, coherent_bounce_sampling=True)
+    cs, bs = make_coherent_sample_arrays(jax.random.key(1), cfg3,
+                                         block=(8, 16))
+    img3 = np.asarray(render_with_samples(scene, cam, cfg3, cs, bs))
+    assert np.isfinite(img3).all() and img3.mean() > 1e-2
