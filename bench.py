@@ -107,7 +107,11 @@ def main():
                        intersector="pallas", bvh_leaf_size=4,
                        coherent_bounce_sampling=True,
                        pairs_per_step=8, stale_round_masks=True,
-                       anyhit_strategy="single")
+                       anyhit_strategy="single",
+                       # round-5 production knobs: two-level cull,
+                       # K=16 round-1 selection, 8k-pair refine window
+                       cull_impl="pallas2", closest_k=16,
+                       cull_window=8192)
     scene = make_hall_scene(target_tris=n_tris)
     scene = dataclasses.replace(
         scene, environment=make_sky_environment(resolution=128))
@@ -139,7 +143,9 @@ def main():
         tcfg = RenderConfig(width=512, height=512, spp=1, max_bounces=4,
                             intersector="pallas", pairs_per_step=8,
                             stale_round_masks=True,
-                            anyhit_strategy="single")
+                            anyhit_strategy="single",
+                            cull_impl="pallas2", closest_k=16,
+                            cull_window=8192)
         tscene = jax.device_put(make_teapot_scene())
         tcam = Camera.look_at(eye=(5.0, 3.2, 6.0), target=(0.0, 1.0, 0.0),
                               fov_y_deg=45.0)

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MaterialTable:
     diffuse: jax.Array     # f32[M,4] rgb + alpha
@@ -39,6 +38,13 @@ class MaterialTable:
     tex_specular: jax.Array  # i32[M]
     tex_emissive: jax.Array  # i32[M]
     tex_bump: jax.Array      # i32[M]
+    #: STATIC (jit-meta) per-KIND binding flags (diffuse, specular,
+    #: emissive, bump): a kind no material binds lets the integrator
+    #: skip that whole fetch+filter chain at TRACE time — texture ids
+    #: are traced arrays, so without this the gathers execute for
+    #: every lane and get discarded by the blend `where`.  The sibling
+    #: of TextureStack.stub at per-kind granularity.
+    kinds_bound: tuple = (True, True, True, True)
 
     @property
     def count(self) -> int:
@@ -82,4 +88,14 @@ class MaterialTable:
             ior=jnp.asarray(ior),
             tex_diffuse=jnp.asarray(texd), tex_specular=jnp.asarray(texs),
             tex_emissive=jnp.asarray(texe), tex_bump=jnp.asarray(texb),
+            kinds_bound=tuple(bool((a >= 0).any())
+                              for a in (texd, texs, texe, texb)),
         )
+
+
+jax.tree_util.register_dataclass(
+    MaterialTable,
+    data_fields=["diffuse", "specular", "emissive", "transmission",
+                 "ior", "tex_diffuse", "tex_specular", "tex_emissive",
+                 "tex_bump"],
+    meta_fields=["kinds_bound"])

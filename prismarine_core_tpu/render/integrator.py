@@ -215,6 +215,12 @@ def _interpolate_surface(scene: Scene, hit: Hit, d,
         texids = (mat.tex_diffuse, mat.tex_specular,
                   mat.tex_emissive, mat.tex_bump)
 
+        # STATIC per-kind binding flags: a kind no material binds skips
+        # its whole fetch+filter chain at trace time (texture ids are
+        # traced arrays, so without this every chain's gathers execute
+        # and get discarded by the blend `where` — measured ~20 ms per
+        # [R]-row gather per bounce)
+        kb = getattr(scene.materials, "kinds_bound", (True,) * 4)
         if stub:
             # uv and the tangent frame only feed texture fetches —
             # skipped on texture-less scenes (dict uv is zeros there)
@@ -225,39 +231,50 @@ def _interpolate_surface(scene: Scene, hit: Hit, d,
             t1 = soup.t1[tri]
             t2 = soup.t2[tri]
             uv = w * t0 + uu * t1 + vv * t2
-            duv1 = t1 - t0
-            duv2 = t2 - t0
-            det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
-            rdet = pm.safe_rcp(det_uv)[:, None]
-            tang = pm.normalize(
-                ((soup.v1[tri] - soup.v0[tri]) * duv2[:, 1:2]
-                 - (soup.v2[tri] - soup.v0[tri]) * duv1[:, 1:2]) * rdet)
+            if kb[3]:   # the tangent frame only feeds normal mapping
+                duv1 = t1 - t0
+                duv2 = t2 - t0
+                det_uv = (duv1[:, 0] * duv2[:, 1]
+                          - duv1[:, 1] * duv2[:, 0])
+                rdet = pm.safe_rcp(det_uv)[:, None]
+                tang = pm.normalize(
+                    ((soup.v1[tri] - soup.v0[tri]) * duv2[:, 1:2]
+                     - (soup.v2[tri] - soup.v0[tri]) * duv1[:, 1:2])
+                    * rdet)
+            else:
+                tang = ns
 
     if not stub:
-        # Tangent-space normal mapping (surface.comp:121-163): perturb
-        # the interpolated normal by the bump texture where bound.
+        kb = getattr(scene.materials, "kinds_bound", (True,) * 4)
         tex_d, tex_s, tex_e, tex_b = texids
-        has_btex = tex_b >= 0
-        btex = sample_tex(scene.textures, tex_b, uv)
-        bitan = jnp.cross(ns, tang)
-        nt = btex[:, :3] * 2.0 - 1.0
-        n_mapped = pm.normalize(
-            tang * nt[:, 0:1] + bitan * nt[:, 1:2] + ns * nt[:, 2:3])
-        ns = jnp.where(has_btex[:, None], n_mapped, ns)
+        if kb[3]:
+            # Tangent-space normal mapping (surface.comp:121-163):
+            # perturb the interpolated normal by the bump texture.
+            has_btex = tex_b >= 0
+            btex = sample_tex(scene.textures, tex_b, uv)
+            bitan = jnp.cross(ns, tang)
+            nt = btex[:, :3] * 2.0 - 1.0
+            n_mapped = pm.normalize(
+                tang * nt[:, 0:1] + bitan * nt[:, 1:2] + ns * nt[:, 2:3])
+            ns = jnp.where(has_btex[:, None], n_mapped, ns)
 
-        has_tex = tex_d >= 0
-        tex = sample_tex(scene.textures, tex_d, uv)
-        albedo4 = jnp.where(has_tex[:, None], albedo4 * tex, albedo4)
+        if kb[0]:
+            has_tex = tex_d >= 0
+            tex = sample_tex(scene.textures, tex_d, uv)
+            albedo4 = jnp.where(has_tex[:, None], albedo4 * tex,
+                                albedo4)
 
-        has_etex = tex_e >= 0
-        etex = sample_tex(scene.textures, tex_e, uv)
-        emissive = jnp.where(has_etex[:, None],
-                             emissive * etex[:, :3], emissive)
+        if kb[2]:
+            has_etex = tex_e >= 0
+            etex = sample_tex(scene.textures, tex_e, uv)
+            emissive = jnp.where(has_etex[:, None],
+                                 emissive * etex[:, :3], emissive)
 
-        has_stex = tex_s >= 0
-        stex = sample_tex(scene.textures, tex_s, uv)
-        rough = jnp.where(has_stex, rough * stex[:, 1], rough)
-        metal = jnp.where(has_stex, metal * stex[:, 2], metal)
+        if kb[1]:
+            has_stex = tex_s >= 0
+            stex = sample_tex(scene.textures, tex_s, uv)
+            rough = jnp.where(has_stex, rough * stex[:, 1], rough)
+            metal = jnp.where(has_stex, metal * stex[:, 2], metal)
 
     return dict(
         shading_normal=ns,
