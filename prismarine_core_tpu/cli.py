@@ -69,17 +69,23 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["full", "packed", "group"],
                    help="ray coherence sort variant (packet.py:"
                         "_sort_pad_rays)")
-    p.add_argument("--cull-impl", default="pallas",
-                   choices=["pallas", "xla"],
-                   help="dense cull implementation (pallas = round-4 "
-                        "block-granular cull kernel)")
+    p.add_argument("--cull-impl", default="pallas2",
+                   choices=["pallas2", "pallas", "xla"],
+                   help="dense cull implementation (pallas2 = round-5 "
+                        "two-level superblock cull + pair-driven "
+                        "block refine, the production default; "
+                        "pallas = round-4 block-granular kernel)")
     p.add_argument("--strategy", default="",
                    choices=["", "single", "two_round", "rounds"],
                    help="closest-hit execution strategy override "
                         "(default: measured per-query-type choices)")
-    p.add_argument("--strategy-k", type=int, default=0,
+    p.add_argument("--strategy-k", type=int, default=16,
                    help="per-round superblock budget K for the "
-                        "two_round/rounds strategies (0 = default 8)")
+                        "two_round/rounds strategies (0 = default 8; "
+                        "the bench runs 16)")
+    p.add_argument("--cull-window", type=int, default=8192,
+                   help="pair window of the two-level cull's refine "
+                        "kernel (the bench runs 8192)")
     p.add_argument("--pairs-per-step", type=int, default=8,
                    help="same-tile pairs per kernel grid step "
                         "(fixed-cost amortization; the bench runs 8)")
@@ -148,6 +154,7 @@ def main(argv=None) -> int:
                        reuse_bounce_order=args.reuse_order,
                        sort_mode=args.sort_mode,
                        cull_impl=args.cull_impl,
+                       cull_window=args.cull_window,
                        closest_strategy=args.strategy,
                        closest_k=args.strategy_k,
                        pairs_per_step=args.pairs_per_step,
