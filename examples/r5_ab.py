@@ -86,6 +86,12 @@ VARIANTS = {
     "r5-best-tile": dict(cull_impl="pallas2", closest_k=16,
                          cull_window=8192, primary_tile_order=True),
     "r5-tile-only": dict(primary_tile_order=True),
+    # coherent-block sweep on the r5-best base (r4 swept on its own
+    # base and stopped at 64; the equal-time MSE favored bigger blocks)
+    "r5-best-b96": dict(cull_impl="pallas2", closest_k=16,
+                        cull_window=8192, _block=(96, 96)),
+    "r5-best-b128": dict(cull_impl="pallas2", closest_k=16,
+                         cull_window=8192, _block=(128, 128)),
 }
 
 

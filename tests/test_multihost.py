@@ -48,16 +48,23 @@ img = renderer(scene, camera,
 print(f"RESULT {pid} {float(jnp.mean(img)):.6f}", flush=True)
 
 # PRODUCTION path across processes: the fused Pallas packet intersector
-# with superblock ranges sharded over 'model' (spanning both hosts) and
-# rays over 'data' — the cross-host form of dryrun_multichip part 1.
+# on a TEXTURED scene with superblock ranges AND the texture stack
+# sharded over 'model' (spanning both hosts), rays over 'data', soup
+# reduced to the husk — the cross-host form of dryrun_multichip part 1.
 import dataclasses
+from prismarine_core_tpu.models.procedural import make_hall_scene
 from prismarine_core_tpu.parallel.shard_intersect import distribute_scene
 mesh2 = make_mesh(jax.device_count(), model_parallel=2)
 cfg2 = RenderConfig(width=16, height=16, spp=1, max_bounces=2,
                     intersector="pallas_sharded", mesh=mesh2)
-dscene = distribute_scene(make_cornell_scene(capacity=64), mesh2)
+hall = make_hall_scene(target_tris=1500, textured=True,
+                       texture_resolution=32)
+dscene = distribute_scene(hall, mesh2)
+assert dscene.textures.mesh is mesh2
+camera2 = Camera.look_at(eye=(-10.0, 2.2, 0.0), target=(6.0, 1.6, 0.0),
+                         fov_y_deg=60.0)
 renderer2 = make_sharded_renderer(mesh2, cfg2)
-img2 = renderer2(dscene, camera,
+img2 = renderer2(dscene, camera2,
                  jax.device_put(cam_s), jax.device_put(bounce_s))
 print(f"RESULT2 {pid} {float(jnp.mean(img2)):.6f}", flush=True)
 """
