@@ -150,6 +150,42 @@ def main():
         tcam = Camera.look_at(eye=(5.0, 3.2, 6.0), target=(0.0, 1.0, 0.0),
                               fov_y_deg=45.0)
         _run_config("teapot-512", tscene, tcam, tcfg)
+        # the same teapot INGESTED through the OBJ loader (native
+        # parser + mesh assembly path in a bench artifact — the
+        # geometry-ingest layer timed on the same config)
+        import os
+        import tempfile
+
+        import numpy as np
+        from prismarine_core_tpu.models.obj_loader import load_obj
+        soup = tscene.triangles
+        nv = int(soup.num_valid())
+        v = np.concatenate([np.asarray(soup.v0)[:nv],
+                            np.asarray(soup.v1)[:nv],
+                            np.asarray(soup.v2)[:nv]])
+        with tempfile.NamedTemporaryFile("w", suffix=".obj",
+                                         delete=False) as f:
+            f.write("".join(f"v {x:.6f} {y:.6f} {z:.6f}\n"
+                            for x, y, z in v))
+            f.write("".join(f"f {i+1} {i+1+nv} {i+1+2*nv}\n"
+                            for i in range(nv)))
+            obj_path = f.name
+        from prismarine_core_tpu.models.scene import Scene
+        try:
+            t0 = time.perf_counter()
+            osoup, omats, otex = load_obj(obj_path)
+            oscene = jax.device_put(Scene.assemble(
+                osoup, omats, tscene.lights, tscene.environment,
+                textures=otex))
+            ingest_s = time.perf_counter() - t0
+            print(f"[bench] obj ingest: {nv} tris in {ingest_s:.2f}s",
+                  file=sys.stderr)
+            _run_config("teapot-512-obj-ingested", oscene, tcam, tcfg)
+        except Exception as e:  # secondary config must not kill the
+            print(f"[bench] obj-ingested config failed: {e!r}",
+                  file=sys.stderr)              # one-line JSON contract
+        finally:
+            os.unlink(obj_path)
 
     print(json.dumps({
         "metric": "rays_per_second_sponza_class_720p_4bounce_live",
