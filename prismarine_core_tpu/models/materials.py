@@ -46,6 +46,23 @@ class MaterialTable:
     #: of TextureStack.stub at per-kind granularity.
     kinds_bound: tuple = (True, True, True, True)
 
+    def __post_init__(self):
+        # Refresh the static flags whenever the table is constructed or
+        # ``dataclasses.replace``d with CONCRETE id arrays — a
+        # post-build mutation like ``replace(mats, tex_bump=...)`` must
+        # not inherit stale flags (a stale False would silently skip a
+        # newly-bound chain).  Traced reconstructions (tree ops inside
+        # jit) and abstract shapes keep the carried value.
+        arrs = (self.tex_diffuse, self.tex_specular,
+                self.tex_emissive, self.tex_bump)
+        if any(isinstance(a, jax.core.Tracer) for a in arrs):
+            return
+        try:
+            self.kinds_bound = tuple(
+                bool((np.asarray(a) >= 0).any()) for a in arrs)
+        except Exception:   # abstract leaves (eval_shape / .lower)
+            pass
+
     @property
     def count(self) -> int:
         return self.diffuse.shape[0]
