@@ -264,6 +264,7 @@ def pallas_pair_cull(pair_tile,   # i32[L] tile-aligned pair list
     """
     lw = pair_tile.shape[0]
     assert cpps * _SB <= 128
+    window += (-window) % cpps      # grid needs window % cpps == 0
     wpad = (-lw) % window
     nsb = sb_boxes.shape[0] - 1
     n_rows = rays.shape[0]
