@@ -127,6 +127,21 @@ def main():
 
         timeit(full_query, oo, dd, t_cap, label="full closest-hit query")
 
+        # tests/ray tracking (VERDICT r4 item 2): live MT sub-blocks
+        # executed by the PRODUCTION closest config, per live ray
+        @jax.jit
+        def counted(oo, dd, t_cap):
+            return pk._run_packet_pallas(
+                bvh.lo[0], bvh.hi[0], ps, oo, dd, t_cap,
+                cull_impl="pallas2", pairs_per_step=8, k_round=16,
+                cull_window=8192, with_counters=True)[3]
+
+        c = counted(oo, dd, t_cap)
+        print(f"  closest (prod cfg): pairs={int(c['n_pairs']):,} "
+              f"mt_subblocks={int(c['mt_subblocks']):,} "
+              f"tests/ray={int(c['mt_subblocks'])*128*128/r:,.0f}",
+              flush=True)
+
         @jax.jit
         def shadow_query(oo, dd, t_cap):
             return pk._run_packet_pallas(bvh.lo[0], bvh.hi[0], ps, oo, dd, t_cap, True)
