@@ -111,7 +111,7 @@ def main():
                        # round-5 production knobs: two-level cull,
                        # K=16 round-1 selection, 8k-pair refine window
                        cull_impl="pallas2", closest_k=16,
-                       cull_window=8192)
+                       cull_window=8192, cull_pps=16)
     scene = make_hall_scene(target_tris=n_tris)
     scene = dataclasses.replace(
         scene, environment=make_sky_environment(resolution=128))
@@ -145,7 +145,7 @@ def main():
                             stale_round_masks=True,
                             anyhit_strategy="single",
                             cull_impl="pallas2", closest_k=16,
-                            cull_window=8192)
+                            cull_window=8192, cull_pps=16)
         tscene = jax.device_put(make_teapot_scene())
         tcam = Camera.look_at(eye=(5.0, 3.2, 6.0), target=(0.0, 1.0, 0.0),
                               fov_y_deg=45.0)

@@ -92,6 +92,9 @@ VARIANTS = {
                         cull_window=8192, _block=(96, 96)),
     "r5-best-b128": dict(cull_impl="pallas2", closest_k=16,
                          cull_window=8192, _block=(128, 128)),
+    # lane-filling refine kernel (16 pairs/step) with MT pps kept at 8
+    "r5-best-cpps16": dict(cull_impl="pallas2", closest_k=16,
+                           cull_window=8192, cull_pps=16),
 }
 
 

@@ -794,6 +794,7 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
                        near_frac: float = 0.0,
                        cull_chunk: int = 1024,
                        cull_window: int = 4096,
+                       cull_pps: int = 0,
                        with_counters: bool = False):
     """Pallas fast path: sort+tile rays, dense block-granular cull,
     front-to-back pair execution, unsort.  Returns (t, slot, order).
@@ -863,10 +864,13 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
     pps = pairs_per_step if use_pallas_cull else 1
     # two-level path: compact with align = the pair-cull kernel's
     # pairs-per-step (every aligned group shares a tile); the MT
-    # kernel's pps must divide it
-    align = (16 if pps == 16 else 8) if use_p2 else pps
+    # kernel's pps must divide it.  ``cull_pps=16`` fills all 128
+    # refine-kernel lanes (16 pairs x 8 blocks) at the price of more
+    # tile-run padding in the MT windows.
+    align = (cull_pps or (16 if pps == 16 else 8)) if use_p2 else pps
     assert align % max(pps, 1) == 0, \
-        "pairs_per_step must be in {1,2,4,8,16} with cull_impl='pallas2'"
+        "pairs_per_step must divide the pair-cull alignment " \
+        "(cull_pps or 8/16) with cull_impl='pallas2'"
     n_live = _live_tile_bound(tct)
 
     # ---- dense cull: candidate superblocks + entry distances (+ masks

@@ -86,6 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cull-window", type=int, default=8192,
                    help="pair window of the two-level cull's refine "
                         "kernel (the bench runs 8192)")
+    p.add_argument("--cull-pps", type=int, default=16,
+                   help="pair-cull alignment (16 fills all 128 refine-"
+                        "kernel lanes; the bench runs 16)")
     p.add_argument("--pairs-per-step", type=int, default=8,
                    help="same-tile pairs per kernel grid step "
                         "(fixed-cost amortization; the bench runs 8)")
@@ -155,6 +158,7 @@ def main(argv=None) -> int:
                        sort_mode=args.sort_mode,
                        cull_impl=args.cull_impl,
                        cull_window=args.cull_window,
+                       cull_pps=args.cull_pps,
                        closest_strategy=args.strategy,
                        closest_k=args.strategy_k,
                        pairs_per_step=args.pairs_per_step,

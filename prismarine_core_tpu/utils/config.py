@@ -107,12 +107,16 @@ class RenderConfig:
     #: pair window of the two-level cull's refine kernel (pairs per
     #: pallas_call in its while_loop)
     cull_window: int = 4096
+    #: pair-cull alignment override for the two-level cull (0 = auto:
+    #: 16 when pairs_per_step == 16, else 8).  16 fills all 128 refine-
+    #: kernel lanes (16 pairs x 8 blocks per step) at the price of more
+    #: tile-run padding in the MT windows; pairs_per_step must divide.
+    cull_pps: int = 0
     #: cull_impl override for ANY-HIT queries ("" = same as cull_impl).
-    #: Measured r5: the two-level cull wins two_round closest queries
-    #: (tighter round-2 masks under tightened caps) but LOSES on the
-    #: any-hit "single" strategy (its one dense compaction gets the
-    #: extra refine stage + mask-0 pairs without any round structure to
-    #: pay it back) — production uses pallas2 closest / pallas any-hit.
+    #: A/B knob: standalone full-live any-hit probes favored the r4
+    #: cull, but IN-FRAME shadow queries (order-reusing, mostly dead)
+    #: favor pallas2, and carrying both pipelines measured a LOSS
+    #: (PERF r5 item 10) — production keeps one impl for both.
     anyhit_cull_impl: str = ""
     #: skip the coherence sort for PRIMARY (bounce-0) rays: camera rays
     #: arrive in scanline order, which is already tile-coherent, so the
