@@ -186,13 +186,16 @@ def shard_packets(sp: ShardedPackets, mesh: Mesh) -> ShardedPackets:
 
 
 def _local_query(sp_local: ShardedPackets, o, d, t_cap, any_hit: bool,
-                 order=None):
+                 order=None, query_kw: dict | None = None):
     """One shard's query against its local superblock range.
 
     Returns (t_key, t, u, v, tri): ``t_key`` is the detached kernel
     distance (the reduce key); t/u/v re-evaluate the winning slot
     against the shard's LOCAL vertex arrays, differentiably — no
-    replicated soup anywhere.
+    replicated soup anywhere.  ``query_kw``: the single-chip
+    production knobs (cull_impl / pairs_per_step / strategies...),
+    forwarded verbatim to ``_run_packet_pallas`` — the sharded path
+    runs the SAME tuned pipeline per shard.
     """
     nsb_l = sp_local.planes.shape[0]
     sg = jax.lax.stop_gradient
@@ -208,7 +211,8 @@ def _local_query(sp_local: ShardedPackets, o, d, t_cap, any_hit: bool,
     )
     t_key, slot, order = _run_packet_pallas(
         sg(sp_local.root_lo), sg(sp_local.root_hi),
-        ps, sg(o), sg(d), sg(t_cap), any_hit=any_hit, order=order)
+        ps, sg(o), sg(d), sg(t_cap), any_hit=any_hit, order=order,
+        **(query_kw or {}))
     slot = sg(slot)
     tri = jnp.where(slot >= 0, ps.slot_orig[jnp.maximum(slot, 0)], -1)
     # differentiable re-eval against the local vertex shard
@@ -253,7 +257,8 @@ def _local_query(sp_local: ShardedPackets, o, d, t_cap, any_hit: bool,
 
 
 def make_sharded_query(mesh: Mesh, any_hit: bool = False,
-                       use_order: bool = False):
+                       use_order: bool = False,
+                       query_kw: dict | None = None):
     """shard_map-wrapped closest-hit/any-hit query: rays over 'data',
     superblock ranges over 'model', one all_gather('model') min-reduce.
 
@@ -275,7 +280,8 @@ def make_sharded_query(mesh: Mesh, any_hit: bool = False,
     def local_fn(sp_local, o, d, t_cap, *order_in):
         order = order_in if use_order else None
         t_key, t, u, v, tri, surf, order = _local_query(
-            sp_local, o, d, t_cap, any_hit, order=order)
+            sp_local, o, d, t_cap, any_hit, order=order,
+            query_kw=query_kw)
         keys = jax.lax.all_gather(jax.lax.stop_gradient(t_key), "model")
         ts = jax.lax.all_gather(t, "model")        # [mp, r_local]
         us = jax.lax.all_gather(u, "model")
@@ -383,17 +389,21 @@ def distribute_scene(scene, mesh: Mesh, shard_soup: bool = True,
 
 def sharded_intersect_closest(mesh: Mesh, sp: ShardedPackets, o, d,
                               t_cap=None, return_surface: bool = False,
-                              return_order: bool = False):
+                              return_order: bool = False,
+                              query_kw: dict | None = None):
     """Closest hit over the sharded scene — differentiable: each model
     shard re-evaluates its own winners locally (no replicated soup).
 
     ``return_surface``: also return the carried shard-local surface
     fields dict (ns/ng/tang/uv/mat_id) for replicated-soup-free
     shading.  ``return_order``: also return the per-shard coherence
-    permutation for reuse by this bounce's shadow query."""
+    permutation for reuse by this bounce's shadow query.
+    ``query_kw``: single-chip production knobs forwarded to each
+    shard's `_run_packet_pallas` (the integrator passes
+    `_pallas_kwargs(cfg)`)."""
     if t_cap is None:
         t_cap = jnp.full((o.shape[0],), INF_DIST)
-    query = make_sharded_query(mesh, any_hit=False)
+    query = make_sharded_query(mesh, any_hit=False, query_kw=query_kw)
     t, u, v, tri, surf, perm, inv_perm = query(sp, o, d, t_cap)
     hit = Hit(t=t, tri=tri, u=u, v=v)
     out = (hit,)
@@ -408,12 +418,13 @@ def sharded_intersect_closest(mesh: Mesh, sp: ShardedPackets, o, d,
 
 
 def sharded_occluded(mesh: Mesh, sp: ShardedPackets, o, d, t_max,
-                     order=None):
+                     order=None, query_kw: dict | None = None):
     """Any-hit query; ``order`` reuses a closest query's per-shard
     coherence sort (one u32 sort per bounce, not per query)."""
     sg = jax.lax.stop_gradient
     query = make_sharded_query(mesh, any_hit=True,
-                               use_order=order is not None)
+                               use_order=order is not None,
+                               query_kw=query_kw)
     args = (sg(sp), sg(o), sg(d), sg(t_max))
     if order is not None:
         args = args + (sg(order[0]), sg(order[1]))

@@ -113,7 +113,8 @@ def closest_hit(scene: Scene, o, d, cfg: RenderConfig,
                              "cfg.mesh (jax.sharding.Mesh)")
         hit, carried, s_order = sharded_intersect_closest(
             cfg.mesh, scene.packets, o, d, t_cap=t_cap,
-            return_surface=True, return_order=True)
+            return_surface=True, return_order=True,
+            query_kw=_pallas_kwargs(cfg, any_hit=False))
         return ret(hit, order=s_order, carried=carried)
     raise ValueError(f"unknown intersector {cfg.intersector!r}")
 
@@ -147,7 +148,9 @@ def occluded(scene: Scene, o, d, t_max, cfg: RenderConfig, order=None):
         from prismarine_core_tpu.parallel.shard_intersect import (
             sharded_occluded)
         return sharded_occluded(cfg.mesh, scene.packets, o, d, t_max,
-                                order=order)
+                                order=order,
+                                query_kw=_pallas_kwargs(cfg,
+                                                        any_hit=True))
     raise ValueError(f"unknown intersector {cfg.intersector!r}")
 
 

@@ -464,3 +464,33 @@ def test_sharded_textures_match_and_scale():
     img = np.asarray(render_with_samples(dscene, cam, cfg_sh, cam_s,
                                          bounce_s))
     np.testing.assert_allclose(img, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_production_knobs_match_single_device():
+    """The sharded path forwards the single-chip production knobs
+    (two-level cull, pairs_per_step, K, strategies) to each shard's
+    query — results must match the single-device render under the SAME
+    knobs."""
+    import dataclasses
+
+    from prismarine_core_tpu.parallel.shard_intersect import (
+        distribute_scene)
+
+    scene = make_cornell_scene()
+    knobs = dict(cull_impl="pallas2", pairs_per_step=8, closest_k=16,
+                 cull_window=2048, cull_pps=16,
+                 stale_round_masks=True, anyhit_strategy="single")
+    cfg = RenderConfig(width=32, height=32, spp=1, max_bounces=2,
+                       intersector="pallas", **knobs)
+    cam_s, bounce_s = make_sample_arrays(
+        jax.random.key(0), cfg.n_rays, cfg.max_bounces)
+    ref = np.asarray(render_with_samples(scene, CAM, cfg, cam_s,
+                                         bounce_s))
+
+    mesh = make_mesh(8, model_parallel=2)
+    dscene = distribute_scene(scene, mesh)
+    cfg_sh = dataclasses.replace(cfg, intersector="pallas_sharded",
+                                 mesh=mesh)
+    img = np.asarray(render_with_samples(dscene, CAM, cfg_sh, cam_s,
+                                         bounce_s))
+    np.testing.assert_allclose(img, ref, rtol=1e-4, atol=1e-5)
