@@ -95,6 +95,18 @@ VARIANTS = {
     # lane-filling refine kernel (16 pairs/step) with MT pps kept at 8
     "r5-best-cpps16": dict(cull_impl="pallas2", closest_k=16,
                            cull_window=8192, cull_pps=16),
+    # ---- round-5 continuation: MXU determinant-form kernel ----
+    # control: the committed round-5 production config (984.8 ms)
+    "r5-prod": dict(cull_impl="pallas2", closest_k=16,
+                    cull_window=8192, cull_pps=16),
+    "r6-mxu": dict(cull_impl="pallas2", closest_k=16,
+                   cull_window=8192, cull_pps=16, kernel_form="mxu"),
+    "r6-mxu-pps4": dict(cull_impl="pallas2", closest_k=16,
+                        cull_window=8192, cull_pps=16,
+                        pairs_per_step=4, kernel_form="mxu"),
+    "r6-mxu-pps16": dict(cull_impl="pallas2", closest_k=16,
+                         cull_window=8192, cull_pps=16,
+                         pairs_per_step=16, kernel_form="mxu"),
 }
 
 

@@ -725,7 +725,8 @@ def _sorted_rays_matrix(root_lo, root_hi, o, d, t_cap, order=None,
     (cfg.primary_identity: camera rays in scanline order are already
     tile-coherent) and is returned as-is so shadow-query reuse stays
     gather-free too."""
-    from prismarine_core_tpu.ops.pallas_intersect import RAY_COLS
+    from prismarine_core_tpu.ops.pallas_intersect import (
+        RAY_COLS, RC_CX, RC_ONE)
     r = o.shape[0]
     identity = isinstance(order, str) and order == "identity"
     if order is None:
@@ -736,6 +737,12 @@ def _sorted_rays_matrix(root_lo, root_hi, o, d, t_cap, order=None,
     cols = cols.at[:, 3:6].set(d)
     cols = cols.at[:, 6].set(t_cap)
     cols = cols.at[:, 8:11].set(_safe_inv(d))
+    # mxu kernel-form features: constant 1 + c = (o - center) x d
+    # (scene-centered to keep the bilinear terms' magnitudes local);
+    # the mt kernel and the cull never read these columns
+    center = 0.5 * (root_lo + root_hi)
+    cols = cols.at[:, RC_ONE].set(1.0)
+    cols = cols.at[:, RC_CX:RC_CX + 3].set(jnp.cross(o - center, d))
     rays = cols if identity else cols[order[0]]   # the one row gather
 
     pad = (-r) % TILE
@@ -752,7 +759,8 @@ def _sorted_rays_matrix(root_lo, root_hi, o, d, t_cap, order=None,
 
 
 def _run_kernel(pair_tile, pair_sb, pair_mask, n_real, rays, planes,
-                nt, nsb, window, prior=None, pairs_per_step: int = 1):
+                nt, nsb, window, prior=None, pairs_per_step: int = 1,
+                kernel_form: str = "mt"):
     """Pad a pair list to a window multiple and run the Pallas kernel."""
     from prismarine_core_tpu.ops.pallas_intersect import (
         pallas_sb_intersect_windowed)
@@ -768,7 +776,8 @@ def _run_kernel(pair_tile, pair_sb, pair_mask, n_real, rays, planes,
             [pair_mask, jnp.zeros((wpad,), jnp.int32)])
     return pallas_sb_intersect_windowed(
         pair_tile, pair_sb, pair_mask, n_real, rays, planes,
-        window=window, prior=prior, pairs_per_step=pps)
+        window=window, prior=prior, pairs_per_step=pps,
+        kernel_form=kernel_form)
 
 
 #: per-round budget of the front-to-back query: each round executes
@@ -795,6 +804,7 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
                        cull_chunk: int = 1024,
                        cull_window: int = 4096,
                        cull_pps: int = 0,
+                       kernel_form: str = "mt",
                        with_counters: bool = False):
     """Pallas fast path: sort+tile rays, dense block-granular cull,
     front-to-back pair execution, unsort.  Returns (t, slot, order).
@@ -841,6 +851,17 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
                                          order, mode=sort_mode)
     nt = rays.shape[0] // TILE - 1
     nsb = ps.n_superblocks
+
+    # "mxu" kernel form: the MT kernel consumes determinant-form
+    # coefficient planes (one matmul per sub-block on the MXU).  The
+    # transform is pure elementwise/cross-product work fused into the
+    # query's program (~4x the plane bytes written once per query).
+    exec_planes = ps.planes
+    if kernel_form == "mxu":
+        from prismarine_core_tpu.ops.pallas_intersect import (
+            mxu_planes_from_planes)
+        exec_planes = mxu_planes_from_planes(
+            ps.planes, 0.5 * (root_lo + root_hi))
 
     from prismarine_core_tpu.ops.pallas_intersect import (RAY_COLS,
                                                           RC_TCAP)
@@ -962,8 +983,8 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
     if strategy == "single":
         pt, psb, pm, np_ = compact_dense(sb_mask, tct, mask8, n_live)
         out = _run_kernel(pt, psb, pm, np_, rays,
-                          ps.planes, nt, nsb, window,
-                          pairs_per_step=pps)
+                          exec_planes, nt, nsb, window,
+                          pairs_per_step=pps, kernel_form=kernel_form)
         if with_counters:
             counters = dict(n_pairs=np_, mt_subblocks=_bits(pm))
     elif strategy == "two_round":
@@ -990,8 +1011,9 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
             executed = jnp.zeros((nt, nsb + 1), bool).at[
                 jnp.arange(nt, dtype=jnp.int32)[:, None],
                 jnp.where(cand_ok, cand, nsb)].set(True)[:, :nsb]
-        out = _run_kernel(pt1, psb1, pm1, np1, rays, ps.planes,
-                          nt, nsb, window, pairs_per_step=pps)
+        out = _run_kernel(pt1, psb1, pm1, np1, rays, exec_planes,
+                          nt, nsb, window, pairs_per_step=pps,
+                          kernel_form=kernel_form)
 
         # ---- round 2: re-cull the rest against tightened caps ----
         o1 = out.reshape(nt + 1, TILE, 8)
@@ -1042,9 +1064,9 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
                         & sb_mask & ~executed)
         pt2, psb2, pm2, np2 = compact_dense(sb_mask2, tct2, mask8_2,
                                             n_live2, rays_eff=rays2)
-        out = _run_kernel(pt2, psb2, pm2, np2, rays, ps.planes,
+        out = _run_kernel(pt2, psb2, pm2, np2, rays, exec_planes,
                           nt, nsb, window, prior=out,
-                          pairs_per_step=pps)
+                          pairs_per_step=pps, kernel_form=kernel_form)
         if with_counters:
             counters = dict(n_pairs=np1 + np2,
                             mt_subblocks=_bits(pm1) + _bits(pm2))
@@ -1094,9 +1116,10 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
             if use_pallas_cull and not use_p2 and not stale_round_masks:
                 pm = _block_masks(ot, inv, tct_eff, pt, psb, npairs,
                                   ps.block_lo, ps.block_hi)
-            out = _run_kernel(pt, psb, pm, npairs, rays, ps.planes,
+            out = _run_kernel(pt, psb, pm, npairs, rays, exec_planes,
                               nt, nsb, window, prior=out,
-                              pairs_per_step=pps)
+                              pairs_per_step=pps,
+                              kernel_form=kernel_form)
             return out, npairs, _bits(pm)
 
         # round 0 always runs (prior=None initializes the accumulator
@@ -1105,8 +1128,9 @@ def _run_packet_pallas(root_lo, root_hi, ps: PacketSet, o, d, t_cap,
         ctn0 = tn_sorted[:, :k]
         ok0 = ctn0 < INF_DIST
         pt0, psb0, pm0, np0 = compact_topk(cand0, ok0, tct, mask8)
-        out = _run_kernel(pt0, psb0, pm0, np0, rays, ps.planes,
-                          nt, nsb, window, pairs_per_step=pps)
+        out = _run_kernel(pt0, psb0, pm0, np0, rays, exec_planes,
+                          nt, nsb, window, pairs_per_step=pps,
+                          kernel_form=kernel_form)
 
         def cond(state):
             rr, out, tile_cap, _, _ = state

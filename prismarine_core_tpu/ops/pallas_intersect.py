@@ -63,13 +63,21 @@ BLOCK = 128     # triangle slots per sub-block
 SB = 8          # sub-blocks per superblock
 _DET_EPS = 1e-10
 
-# ray component columns
-(RC_OX, RC_OY, RC_OZ, RC_DX, RC_DY, RC_DZ, RC_TCAP, _RC_P0,
- RC_IVX, RC_IVY, RC_IVZ) = range(11)
+# ray component columns.  RC_ONE (constant 1) and RC_CX..RC_CZ
+# (c = (o - scene_center) x d) exist for the "mxu" kernel form: they
+# make every Moller-Trumbore numerator a LINEAR form in the ray columns
+# (see mxu_planes_from_planes), so one [TILE,16]x[16,4*BLOCK] matmul on
+# the MXU produces det/u/v/t for a whole sub-block.
+(RC_OX, RC_OY, RC_OZ, RC_DX, RC_DY, RC_DZ, RC_TCAP, RC_ONE,
+ RC_IVX, RC_IVY, RC_IVZ, RC_CX, RC_CY, RC_CZ) = range(14)
+_RC_P0 = RC_ONE  # backwards-compat alias (column 7 was padding pre-r5)
 RAY_COLS = 16
 # triangle component rows
 (TC_V0X, TC_V0Y, TC_V0Z, TC_E1X, TC_E1Y, TC_E1Z,
  TC_E2X, TC_E2Y, TC_E2Z, TC_VALID) = range(10)
+# quantity order of the mxu coefficient planes (per sub-block column
+# groups of BLOCK lanes each)
+MXU_Q = 4          # det, u_num, v_num, t_num
 # output columns
 OC_T, OC_SLOT = range(2)
 
@@ -190,7 +198,181 @@ def _sb_kernel(pps, pair_tile, pair_sb, pair_mask, first_step,
         out_ref[:, :] = out
 
 
-@partial(jax.jit, static_argnames=("window", "pairs_per_step"))
+def mxu_planes_from_planes(planes, center):
+    """Determinant-form coefficient planes for the "mxu" kernel.
+
+    Moller-Trumbore's four per-pair quantities are triple products and
+    therefore LINEAR in the ray feature vector
+    ``[o, d, 1, c]`` with ``c = (o - center) x d`` (center kills the
+    catastrophic |o||d| magnitudes for off-origin scenes):
+
+      det   = e1.(d x e2) = d.(e2 x e1)
+      u_num = det[s,d,e2] = c.e2 + d.(v~0 x e2)
+      v_num = det[d,s,e1] = -c.e1 + d.(e1 x v~0)
+      t_num = s.n         = o.n - v0.n          (n = e1 x e2)
+
+    with ``s = o - v0`` and ``v~0 = v0 - center``.  One
+    [TILE,16]x[16, MXU_Q*BLOCK] matmul per sub-block then produces all
+    four [TILE,BLOCK] grids on the MXU, leaving only the reciprocal,
+    validity predicate and min-fold on the VPU.  The winning triangle
+    is re-evaluated differentiably by the caller, so kernel-form u/v
+    rounding only moves hit/miss decisions at triangle edges — the
+    same class of f32 error the elementwise form has, PROVIDED the
+    matmul itself is f32-class (Precision.HIGHEST; see the kernel).
+    Measured on v5e: correct but slower than the VPU form — the form
+    is kept for TPU generations with cheaper high-precision matmul
+    (PERF.md round-5 continuation has the pass-cost model).
+
+    Input: ``planes`` f32[nsb+1, 16, SB*BLOCK] (build_packet_set
+    layout).  Output: f32[nsb+1, 16, SB*MXU_Q*BLOCK]; for sub-block k
+    the lane groups are [det | u_num | v_num | t_num] of its BLOCK
+    slots.  Invalid / sentinel slots have all-zero columns -> det = 0
+    -> rejected by the epsilon predicate, so no valid row is needed.
+    """
+    nsbp, _, s = planes.shape
+
+    def vec(r0):
+        return jnp.stack([planes[:, r0], planes[:, r0 + 1],
+                          planes[:, r0 + 2]], axis=-1)   # [nsbp, S, 3]
+
+    v0 = vec(TC_V0X)
+    e1 = vec(TC_E1X)
+    e2 = vec(TC_E2X)
+    valid = (planes[:, TC_VALID] > 0.5)[..., None]       # [nsbp, S, 1]
+    n = jnp.cross(e1, e2)
+    vt = v0 - center[None, None, :]
+
+    def masked(x):
+        return jnp.where(valid, x, 0.0)
+
+    coef = jnp.zeros((nsbp, 16, MXU_Q, s), jnp.float32)
+
+    def put(rows, q, val):                               # val [nsbp,S,3]
+        return coef.at[:, rows:rows + val.shape[-1], q].set(
+            masked(val).transpose(0, 2, 1))
+
+    coef = put(RC_DX, 0, jnp.cross(e2, e1))              # det
+    coef = put(RC_CX, 1, e2)                             # u_num (c rows)
+    coef = put(RC_DX, 1, jnp.cross(vt, e2))              # u_num (d rows)
+    coef = put(RC_CX, 2, -e1)                            # v_num (c rows)
+    coef = put(RC_DX, 2, jnp.cross(e1, vt))              # v_num (d rows)
+    coef = put(RC_OX, 3, n)                              # t_num (o rows)
+    coef = put(RC_ONE, 3,
+               -jnp.sum(v0 * n, axis=-1, keepdims=True)) # t_num (const)
+
+    # regroup lanes per sub-block: [.., 16, Q, SB, BLOCK] ->
+    # [.., 16, SB, Q, BLOCK] so sub-block k's quantities are contiguous
+    coef = coef.reshape(nsbp, 16, MXU_Q, s // BLOCK, BLOCK)
+    coef = coef.transpose(0, 1, 3, 2, 4)
+    return coef.reshape(nsbp, 16, (s // BLOCK) * MXU_Q * BLOCK)
+
+
+def _sb_kernel_mxu(pps, pair_tile, pair_sb, pair_mask, first_step,
+                   ray_ref,                    # [TILE, 16]
+                   *refs):                     # pps coef refs, prior,
+                                               # out, run_tt, run_k
+    """MXU kernel form: one [TILE,16]x[16,MXU_Q*BLOCK] matmul per live
+    sub-block computes det/u/v/t; the VPU only runs the reciprocal,
+    the validity predicate and the deferred-argmin fold (~20 ops vs
+    the elementwise form's ~54).  Accumulation structure (deferred
+    argmin, tie-breaking, windows) is identical to _sb_kernel."""
+    tri_refs = refs[:pps]              # each [1, 16, SB*MXU_Q*BLOCK]
+    prior_ref, out_ref, run_tt, run_k = refs[pps:]
+    i = pl.program_id(0)
+
+    @pl.when(first_step[i] == 1)
+    def _init():
+        out_ref[:, :] = prior_ref[:, :]
+
+    run_tt[:, :] = jnp.full((TILE, BLOCK), INF_DIST, jnp.float32)
+    run_k[:, :] = jnp.zeros((TILE, BLOCK), jnp.float32)
+
+    any_mask = pair_mask[i * pps]
+    for j in range(1, pps):
+        any_mask = any_mask | pair_mask[i * pps + j]
+
+    rays = ray_ref[:, :]                                 # [TILE, 16]
+    for j in range(pps):
+        mask_j = pair_mask[i * pps + j]
+        for k in range(SB):
+            @pl.when((mask_j >> k) & 1 == 1)
+            def _mt(j=j, k=k):
+                b = tri_refs[j][0, :, k * MXU_Q * BLOCK:
+                                (k + 1) * MXU_Q * BLOCK]  # [16, Q*B]
+                # HIGHEST is REQUIRED: the MXU's default f32 path is
+                # single-pass bf16 (2^-8 relative rounding) — measured
+                # fatal for these cancellation-heavy determinant sums
+                # (hall image mean 0.296 -> 0.314, 10% of live lanes
+                # lost their hits).  HIGHEST (6-pass bf16 decomposition)
+                # reproduces the elementwise form to edge-only
+                # divergence.  See PERF.md round-5 continuation for why
+                # this form still loses to the VPU form on v5e.
+                prod = jax.lax.dot_general(
+                    rays, b, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # [TILE, Q*B]
+                det = prod[:, 0 * BLOCK:1 * BLOCK]
+                un = prod[:, 1 * BLOCK:2 * BLOCK]
+                vn = prod[:, 2 * BLOCK:3 * BLOCK]
+                tn = prod[:, 3 * BLOCK:4 * BLOCK]
+
+                inv = 1.0 / jnp.where(jnp.abs(det) < _DET_EPS,
+                                      _DET_EPS, det)
+                uu = un * inv
+                vv = vn * inv
+                tt = tn * inv
+                ok = ((jnp.abs(det) >= _DET_EPS)
+                      & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                      & (tt > PZERO))
+                tt = jnp.where(ok, tt, INF_DIST)
+
+                better = tt < run_tt[:, :]
+                run_k[:, :] = jnp.where(better,
+                                        jnp.float32(j * SB + k),
+                                        run_k[:, :])
+                run_tt[:, :] = jnp.where(better, tt, run_tt[:, :])
+
+    @pl.when(any_mask != 0)
+    def _merge():
+        rt = run_tt[:, :]
+        best = out_ref[:, OC_T]
+        slot_best = jax.lax.bitcast_convert_type(
+            out_ref[:, OC_SLOT], jnp.int32)
+
+        j = jnp.argmin(rt, axis=1)                         # [TILE]
+        tj = jnp.min(rt, axis=1)
+        better = tj < best
+
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (TILE, BLOCK), 1)
+                  == j[:, None])
+        kj = jnp.sum(jnp.where(onehot, run_k[:, :], 0.0),
+                     axis=1).astype(jnp.int32)             # [TILE]
+
+        jj = kj // SB
+        kk = kj - jj * SB
+        base = jnp.zeros_like(kj)
+        for jx in range(pps):
+            base = jnp.where(jj == jx,
+                             pair_sb[i * pps + jx] * (SB * BLOCK), base)
+
+        best = jnp.where(better, tj, best)
+        slot_best = jnp.where(better,
+                              base + kk * BLOCK + j,
+                              slot_best)
+
+        colid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 1)
+        out = jnp.where(colid == OC_T, best[:, None],
+                        out_ref[:, :])
+        out = jnp.where(
+            colid == OC_SLOT,
+            jax.lax.bitcast_convert_type(
+                slot_best, jnp.float32)[:, None],
+            out)
+        out_ref[:, :] = out
+
+
+@partial(jax.jit,
+         static_argnames=("window", "pairs_per_step", "kernel_form"))
 def pallas_sb_intersect_windowed(
     pair_tile,               # i32[L] pair list, tile-major; pad -> nt
     pair_sb,                 # i32[L] superblock ids (pad -> sentinel)
@@ -201,6 +383,7 @@ def pallas_sb_intersect_windowed(
     window: int = 1024,
     prior=None,              # f32[(nt+1)*TILE, 8] carried bests (round 2+)
     pairs_per_step: int = 1,
+    kernel_form: str = "mt",
 ):
     """Exact pair execution: while_loop over fixed-size pair windows.
 
@@ -221,8 +404,15 @@ def pallas_sb_intersect_windowed(
     """
     pps = pairs_per_step
     assert window % pps == 0
+    assert kernel_form in ("mt", "mxu")
     n_rows = rays.shape[0]
     n_tiles_pad = n_rows // TILE - 1
+    # the mxu form consumes the wider determinant-coefficient planes
+    plane_w = SB * (MXU_Q if kernel_form == "mxu" else 1) * BLOCK
+    kernel = _sb_kernel_mxu if kernel_form == "mxu" else _sb_kernel
+    assert planes.shape[2] == plane_w, \
+        f"planes lane width {planes.shape[2]} != {plane_w} for " \
+        f"kernel_form={kernel_form!r}"
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -232,7 +422,7 @@ def pallas_sb_intersect_windowed(
                          lambda i, pt, psb, pm, fp: (pt[i * pps], 0),
                          memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((1, 16, SB * BLOCK),
+            pl.BlockSpec((1, 16, plane_w),
                          (lambda j: lambda i, pt, psb, pm, fp:
                           (psb[i * pps + j], 0, 0))(j),
                          memory_space=pltpu.VMEM)
@@ -256,7 +446,7 @@ def pallas_sb_intersect_windowed(
     # interpreter there; real TPU compiles the kernel.
     interpret = jax.default_backend() == "cpu"
     call = pl.pallas_call(
-        partial(_sb_kernel, pps),
+        partial(kernel, pps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, 8), jnp.float32),
         # prior (input 5+pps = 4 scalar-prefetch + rays + pps planes +

@@ -53,7 +53,8 @@ def _pallas_kwargs(cfg: RenderConfig, any_hit: bool) -> dict:
               near_frac=cfg.near_frac,
               window=cfg.kernel_window,
               cull_window=cfg.cull_window,
-              cull_pps=cfg.cull_pps)
+              cull_pps=cfg.cull_pps,
+              kernel_form=cfg.kernel_form)
     strat = cfg.anyhit_strategy if any_hit else cfg.closest_strategy
     k = cfg.anyhit_k if any_hit else cfg.closest_k
     if strat:

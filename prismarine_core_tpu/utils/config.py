@@ -112,6 +112,18 @@ class RenderConfig:
     #: kernel lanes (16 pairs x 8 blocks per step) at the price of more
     #: tile-run padding in the MT windows; pairs_per_step must divide.
     cull_pps: int = 0
+    #: Moller-Trumbore kernel form of the fused Pallas intersector:
+    #: "mt" = elementwise VPU form (2 crosses + 4 dots per sub-block);
+    #: "mxu" = determinant form — every numerator is linear in the ray
+    #: features [o, d, 1, (o-center) x d], so ONE
+    #: [128,16]x[16,4*128] MXU matmul per sub-block produces
+    #: det/u/v/t and the VPU only runs reciprocal + predicate + fold
+    #: (ops/pallas_intersect.py:mxu_planes_from_planes).  Measured a
+    #: LOSS on v5e (PERF.md round-5 continuation): the determinant
+    #: sums need f32-class matmul precision, which the v5e MXU only
+    #: reaches via the 6-pass bf16 decomposition with K padded 16->128
+    #: — kept as a knob for TPU generations with native f32 matmul.
+    kernel_form: str = "mt"
     #: cull_impl override for ANY-HIT queries ("" = same as cull_impl).
     #: A/B knob: standalone full-live any-hit probes favored the r4
     #: cull, but IN-FRAME shadow queries (order-reusing, mostly dead)

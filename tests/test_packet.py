@@ -366,3 +366,77 @@ def test_primary_tile_order_matches():
                                          block=(8, 16))
     img3 = np.asarray(render_with_samples(scene, cam, cfg3, cs, bs))
     assert np.isfinite(img3).all() and img3.mean() > 1e-2
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(cull_impl="pallas2", pairs_per_step=4),
+    dict(cull_impl="pallas2", strategy="single"),
+    dict(strategy="rounds", k_round=4),
+])
+def test_mxu_kernel_form_matches(kw):
+    """The "mxu" determinant-form kernel (one MXU matmul per sub-block,
+    ops/pallas_intersect.py:mxu_planes_from_planes) reorders the f32
+    arithmetic of Moller-Trumbore, so hit/miss decisions may flip
+    exactly AT triangle edges; everywhere else it must agree with the
+    elementwise form, and every t it reports must match the brute t of
+    whichever triangle it picked."""
+    from prismarine_core_tpu.accel.packet import _run_packet_pallas
+    soup = _random_soup(800, capacity=1024, seed=51)
+    bvh = build_bvh(soup, leaf_size=4)
+    ps = build_packet_set(bvh)
+    r = 2048
+    o, d = _rand_rays(r, seed=52)
+    t_cap = jnp.full((r,), 1e4)
+
+    tm, sm, _ = _run_packet_pallas(bvh.lo[0], bvh.hi[0], ps, o, d,
+                                   t_cap, kernel_form="mt", **kw)
+    tx, sx, _ = _run_packet_pallas(bvh.lo[0], bvh.hi[0], ps, o, d,
+                                   t_cap, kernel_form="mxu", **kw)
+    tm, sm, tx, sx = (np.asarray(a) for a in (tm, sm, tx, sx))
+
+    # hit/miss parity for (nearly) all rays
+    agree_hit = (sm >= 0) == (sx >= 0)
+    assert agree_hit.mean() > 0.995, f"hit parity {agree_hit.mean()}"
+    # same slot for (nearly) all rays that both hit
+    both = (sm >= 0) & (sx >= 0)
+    same = sm[both] == sx[both]
+    assert same.mean() > 0.99, f"slot parity {same.mean()}"
+    # identical winners -> t within f32 reordering tolerance
+    np.testing.assert_allclose(tx[both][same], tm[both][same],
+                               rtol=1e-3, atol=1e-4)
+    # different winners must still be equally-near surfaces
+    if (~same).any():
+        np.testing.assert_allclose(tx[both][~same], tm[both][~same],
+                                   rtol=1e-2, atol=1e-3)
+
+
+def test_mxu_kernel_form_image_parity():
+    """Full integrator path under cfg.kernel_form="mxu": the rendered
+    image must match the elementwise form to sub-1% (winners are
+    re-evaluated differentiably, so only edge-pixel decisions move)."""
+    import dataclasses
+
+    from prismarine_core_tpu.models.camera import Camera
+    from prismarine_core_tpu.render.integrator import render_with_samples
+    from prismarine_core_tpu.utils.config import RenderConfig
+
+    scene = make_hall_scene(target_tris=2000)
+    cam = Camera.look_at(eye=(-10.0, 2.2, 0.0), target=(6.0, 1.6, 0.0),
+                         fov_y_deg=60.0)
+    cfg = RenderConfig(width=48, height=32, spp=1, max_bounces=3,
+                       intersector="pallas", cull_impl="pallas2",
+                       pairs_per_step=4)
+    cam_s = jnp.full((cfg.n_rays, 4), 0.5)
+    bounce_s = jnp.full((cfg.max_bounces, cfg.n_rays, 10), 0.37)
+    ref = np.asarray(render_with_samples(scene, cam, cfg, cam_s,
+                                         bounce_s))
+    cfg2 = dataclasses.replace(cfg, kernel_form="mxu")
+    img = np.asarray(render_with_samples(scene, cam, cfg2, cam_s,
+                                         bounce_s))
+    assert np.isfinite(img).all()
+    # pixelwise: nearly all pixels identical to tolerance; edge pixels
+    # may differ (different-but-equally-near winners)
+    close = np.isclose(img, ref, rtol=1e-3, atol=1e-3).all(axis=-1)
+    assert close.mean() > 0.98, f"pixel parity {close.mean()}"
+    assert abs(img.mean() - ref.mean()) < 5e-3 * max(ref.mean(), 1e-6)
