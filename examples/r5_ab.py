@@ -107,6 +107,9 @@ VARIANTS = {
     "r6-mxu-pps16": dict(cull_impl="pallas2", closest_k=16,
                          cull_window=8192, cull_pps=16,
                          pairs_per_step=16, kernel_form="mxu"),
+    # two-sub-block-interleaved MT (ILP experiment, r4 item 9)
+    "r6-mt2": dict(cull_impl="pallas2", closest_k=16,
+                   cull_window=8192, cull_pps=16, kernel_form="mt2"),
 }
 
 

@@ -198,6 +198,133 @@ def _sb_kernel(pps, pair_tile, pair_sb, pair_mask, first_step,
         out_ref[:, :] = out
 
 
+def _sb_kernel_mt2(pps, pair_tile, pair_sb, pair_mask, first_step,
+                   ray_ref,                    # [TILE, 16]
+                   *refs):                     # pps tri refs, prior,
+                                               # out, run_tt, run_k
+    """Two-sub-block-interleaved variant of _sb_kernel (kernel_form
+    "mt2"): each predicated region computes TWO independent
+    Moller-Trumbore chains so the VPU can overlap their dependency
+    chains (r4 item 9 measured dependency DEPTH, not op count, as the
+    binding resource).  Cost: when only one bit of a 2-bit mask group
+    is set, the dead sub-block's grids are computed and discarded
+    (its fold is gated by a scalar select), so the win depends on
+    mask-bit pairing density.  Tie-breaking: sub-block k folds before
+    k+1, preserving the sequential form's ordering bit-for-bit."""
+    tri_refs = refs[:pps]                      # each [1, 16, SB*BLOCK]
+    prior_ref, out_ref, run_tt, run_k = refs[pps:]
+    i = pl.program_id(0)
+
+    @pl.when(first_step[i] == 1)
+    def _init():
+        out_ref[:, :] = prior_ref[:, :]
+
+    def rcol(c):
+        return ray_ref[:, c][:, None]
+
+    rox, roy, roz = rcol(RC_OX), rcol(RC_OY), rcol(RC_OZ)
+    rdx, rdy, rdz = rcol(RC_DX), rcol(RC_DY), rcol(RC_DZ)
+
+    run_tt[:, :] = jnp.full((TILE, BLOCK), INF_DIST, jnp.float32)
+    run_k[:, :] = jnp.zeros((TILE, BLOCK), jnp.float32)
+
+    any_mask = pair_mask[i * pps]
+    for j in range(1, pps):
+        any_mask = any_mask | pair_mask[i * pps + j]
+
+    def mt_grids(j, k):
+        """One sub-block's masked-hit grid (tt with INF on misses)."""
+        def trow(c):
+            return tri_refs[j][0, c,
+                               k * BLOCK:(k + 1) * BLOCK][None, :]
+
+        e1x, e1y, e1z = trow(TC_E1X), trow(TC_E1Y), trow(TC_E1Z)
+        e2x, e2y, e2z = trow(TC_E2X), trow(TC_E2Y), trow(TC_E2Z)
+
+        px = rdy * e2z - rdz * e2y
+        py = rdz * e2x - rdx * e2z
+        pz = rdx * e2y - rdy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv = 1.0 / jnp.where(jnp.abs(det) < _DET_EPS, _DET_EPS, det)
+
+        sx = rox - trow(TC_V0X)
+        sy = roy - trow(TC_V0Y)
+        sz = roz - trow(TC_V0Z)
+        uu = (sx * px + sy * py + sz * pz) * inv
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        vv = (rdx * qx + rdy * qy + rdz * qz) * inv
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+
+        ok = ((jnp.abs(det) >= _DET_EPS)
+              & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+              & (tt > PZERO) & (trow(TC_VALID) > 0.5))
+        return jnp.where(ok, tt, INF_DIST)
+
+    for j in range(pps):
+        mask_j = pair_mask[i * pps + j]
+        for k0 in range(0, SB, 2):
+            @pl.when((mask_j >> k0) & 3 != 0)
+            def _mt2(j=j, k0=k0):
+                # both chains in one straight-line region -> the
+                # compiler interleaves their independent ops
+                tt_a = mt_grids(j, k0)
+                tt_b = mt_grids(j, k0 + 1)
+                on_a = ((mask_j >> k0) & 1) == 1          # scalars
+                on_b = ((mask_j >> (k0 + 1)) & 1) == 1
+                tt_a = jnp.where(on_a, tt_a, INF_DIST)
+                tt_b = jnp.where(on_b, tt_b, INF_DIST)
+
+                better = tt_a < run_tt[:, :]
+                run_k[:, :] = jnp.where(better, jnp.float32(j * SB + k0),
+                                        run_k[:, :])
+                run_tt[:, :] = jnp.where(better, tt_a, run_tt[:, :])
+                better = tt_b < run_tt[:, :]
+                run_k[:, :] = jnp.where(better,
+                                        jnp.float32(j * SB + k0 + 1),
+                                        run_k[:, :])
+                run_tt[:, :] = jnp.where(better, tt_b, run_tt[:, :])
+
+    @pl.when(any_mask != 0)
+    def _merge():
+        rt = run_tt[:, :]
+        best = out_ref[:, OC_T]
+        slot_best = jax.lax.bitcast_convert_type(
+            out_ref[:, OC_SLOT], jnp.int32)
+
+        j = jnp.argmin(rt, axis=1)                         # [TILE]
+        tj = jnp.min(rt, axis=1)
+        better = tj < best
+
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (TILE, BLOCK), 1)
+                  == j[:, None])
+        kj = jnp.sum(jnp.where(onehot, run_k[:, :], 0.0),
+                     axis=1).astype(jnp.int32)             # [TILE]
+
+        jj = kj // SB
+        kk = kj - jj * SB
+        base = jnp.zeros_like(kj)
+        for jx in range(pps):
+            base = jnp.where(jj == jx,
+                             pair_sb[i * pps + jx] * (SB * BLOCK), base)
+
+        best = jnp.where(better, tj, best)
+        slot_best = jnp.where(better,
+                              base + kk * BLOCK + j,
+                              slot_best)
+
+        colid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 1)
+        out = jnp.where(colid == OC_T, best[:, None],
+                        out_ref[:, :])
+        out = jnp.where(
+            colid == OC_SLOT,
+            jax.lax.bitcast_convert_type(
+                slot_best, jnp.float32)[:, None],
+            out)
+        out_ref[:, :] = out
+
+
 def mxu_planes_from_planes(planes, center):
     """Determinant-form coefficient planes for the "mxu" kernel.
 
@@ -404,12 +531,13 @@ def pallas_sb_intersect_windowed(
     """
     pps = pairs_per_step
     assert window % pps == 0
-    assert kernel_form in ("mt", "mxu")
+    assert kernel_form in ("mt", "mt2", "mxu")
     n_rows = rays.shape[0]
     n_tiles_pad = n_rows // TILE - 1
     # the mxu form consumes the wider determinant-coefficient planes
     plane_w = SB * (MXU_Q if kernel_form == "mxu" else 1) * BLOCK
-    kernel = _sb_kernel_mxu if kernel_form == "mxu" else _sb_kernel
+    kernel = {"mt": _sb_kernel, "mt2": _sb_kernel_mt2,
+              "mxu": _sb_kernel_mxu}[kernel_form]
     assert planes.shape[2] == plane_w, \
         f"planes lane width {planes.shape[2]} != {plane_w} for " \
         f"kernel_form={kernel_form!r}"

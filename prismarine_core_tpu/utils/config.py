@@ -123,6 +123,8 @@ class RenderConfig:
     #: sums need f32-class matmul precision, which the v5e MXU only
     #: reaches via the 6-pass bf16 decomposition with K padded 16->128
     #: — kept as a knob for TPU generations with native f32 matmul.
+    #: "mt2" = two-sub-block-interleaved elementwise form (ILP probe;
+    #: bit-identical, measured +8% — the kernel is throughput-bound).
     kernel_form: str = "mt"
     #: cull_impl override for ANY-HIT queries ("" = same as cull_impl).
     #: A/B knob: standalone full-live any-hit probes favored the r4
