@@ -110,6 +110,11 @@ VARIANTS = {
     # two-sub-block-interleaved MT (ILP experiment, r4 item 9)
     "r6-mt2": dict(cull_impl="pallas2", closest_k=16,
                    cull_window=8192, cull_pps=16, kernel_form="mt2"),
+    # Russian roulette from bounce 2 / 3 (estimator lever 1)
+    "r6-rr2": dict(cull_impl="pallas2", closest_k=16,
+                   cull_window=8192, cull_pps=16, rr_start_bounce=2),
+    "r6-rr3": dict(cull_impl="pallas2", closest_k=16,
+                   cull_window=8192, cull_pps=16, rr_start_bounce=3),
 }
 
 

@@ -95,6 +95,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stale-round-masks", action="store_true",
                    help="keep round-0 block masks across any-hit "
                         "rounds (faster for coherent workloads)")
+    p.add_argument("--rr-start-bounce", type=int, default=0,
+                   help="Russian-roulette start bounce (0 = off): "
+                        "unbiased stochastic termination of "
+                        "low-throughput paths from this bounce on")
+    p.add_argument("--rr-min-q", type=float, default=0.05,
+                   help="Russian-roulette survival-probability floor")
     return p
 
 
@@ -162,7 +168,9 @@ def main(argv=None) -> int:
                        closest_strategy=args.strategy,
                        closest_k=args.strategy_k,
                        pairs_per_step=args.pairs_per_step,
-                       stale_round_masks=args.stale_round_masks)
+                       stale_round_masks=args.stale_round_masks,
+                       rr_start_bounce=args.rr_start_bounce,
+                       rr_min_q=args.rr_min_q)
 
     renderer = ProgressiveRenderer(scene, camera, cfg, seed=args.seed)
     t0 = time.perf_counter()

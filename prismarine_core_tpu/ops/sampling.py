@@ -31,7 +31,7 @@ from prismarine_core_tpu.utils.config import (
 
 # slot indices
 (S_ALPHA, S_SPEC, S_COS1, S_COS2, S_GLOSS, S_LIGHT1, S_LIGHT2, S_RESERVED,
- S_ENV1, S_ENV2) = range(10)
+ S_ENV1, S_ENV2, S_RR) = range(11)
 
 
 def make_sample_arrays(key: jax.Array, n_rays: int, max_bounces: int):

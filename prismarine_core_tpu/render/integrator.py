@@ -381,7 +381,7 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig,
 
     def step(carry, u):
         (o, d, beta, radiance, alive, prev_pdf,
-         miss_dir, miss_beta, miss_pdf) = carry
+         miss_dir, miss_beta, miss_pdf, bounce_i) = carry
         t_cap = jnp.where(alive, INF_DIST, 0.0)
         hit, order, carried = closest_hit(scene, o, d, cfg, t_cap=t_cap,
                                           with_order=True,
@@ -480,6 +480,24 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig,
         # Lane liveness: throughput cutoff (rayshading.comp:240).
         new_alive = on_surf & (pm.length(new_beta) > cfg.min_throughput)
 
+        # Russian roulette (opt-in, beyond reference parity): from
+        # bounce cfg.rr_start_bounce on, survive with probability
+        # q = clamp(max channel of throughput, rr_min_q, 1) and
+        # reweight survivors by 1/q — unbiased
+        # (tests/test_transport.py::test_russian_roulette_unbiased).
+        # Under coherent_bounce_sampling the coin is block-correlated
+        # like every other branch coin: whole blocks retire together,
+        # which the dead-lane sort turns into skipped kernel pairs.
+        if cfg.rr_start_bounce > 0:
+            q = jnp.clip(jnp.max(new_beta, axis=-1),
+                         cfg.rr_min_q, 1.0)
+            rr_on = bounce_i >= cfg.rr_start_bounce   # traced scalar
+            survive = rr_on & (u[:, smp.S_RR] < q)
+            keep = survive | ~rr_on
+            new_alive = new_alive & keep
+            new_beta = jnp.where(survive[:, None],
+                                 new_beta / q[:, None], new_beta)
+
         # pdf of the chosen continuation direction under its strategy:
         # cosine pdf for diffuse lanes, 0 (delta) for specular /
         # pass-through — consumed by the next bounce's miss-side MIS.
@@ -500,7 +518,8 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig,
             n_shadow,                              # NEE shadow lanes
         ])
         return ((new_o, new_d, new_beta, radiance, new_alive,
-                 new_prev_pdf, miss_dir, miss_beta, miss_pdf), stats)
+                 new_prev_pdf, miss_dir, miss_beta, miss_pdf,
+                 bounce_i + 1), stats)
 
     return step
 
@@ -534,7 +553,8 @@ def trace(scene: Scene, cfg: RenderConfig, o, d, bounce_samples,
           active=None):
     """Trace rays through ``cfg.max_bounces`` bounces.
 
-    o, d: f32[R,3]; bounce_samples: f32[B,R,8]; ``active`` optionally
+    o, d: f32[R,3]; bounce_samples: f32[B,R,SAMPLES_PER_BOUNCE];
+    ``active`` optionally
     masks lanes off from the start (interlacing).
     Returns radiance f32[R,3].
     """
@@ -548,6 +568,7 @@ def trace(scene: Scene, cfg: RenderConfig, o, d, bounce_samples,
         jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (r, 3)),  # miss d
         jnp.zeros((r, 3), jnp.float32),                   # miss beta
         jnp.zeros((r,), jnp.float32),                     # miss bsdf pdf
+        jnp.int32(0),                                     # bounce index
     )
     from prismarine_core_tpu.models.camera import tile_order_active
     is_pallas = cfg.intersector == "pallas"
@@ -586,13 +607,15 @@ def trace(scene: Scene, cfg: RenderConfig, o, d, bounce_samples,
             stats = jnp.concatenate([stats0[None], stats_rest])
         else:
             stats = stats0[None]
-        (_, _, _, radiance, _, _, miss_dir, miss_beta, miss_pdf) = carry
+        (_, _, _, radiance, _, _, miss_dir, miss_beta, miss_pdf,
+         _) = carry
         radiance = _env_pickup(scene, cfg, radiance, miss_dir,
                                miss_beta, miss_pdf)
         return radiance, stats
     step = make_bounce_step(scene, cfg)
     carry, stats = jax.lax.scan(step, init, bounce_samples)
-    (_, _, _, radiance, _, _, miss_dir, miss_beta, miss_pdf) = carry
+    (_, _, _, radiance, _, _, miss_dir, miss_beta, miss_pdf,
+     _) = carry
     radiance = _env_pickup(scene, cfg, radiance, miss_dir,
                            miss_beta, miss_pdf)
     return radiance, stats

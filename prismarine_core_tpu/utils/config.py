@@ -19,7 +19,7 @@ INF_DIST = 10000.0      # "infinity" hit dist  (constants.glsl: INFINITY)
 
 # Number of uniform random samples consumed per bounce / per camera ray.
 # See render/integrator.py for the slot layout.
-SAMPLES_PER_BOUNCE = 10
+SAMPLES_PER_BOUNCE = 11
 SAMPLES_PER_CAMERA_RAY = 4
 
 
@@ -51,6 +51,16 @@ class RenderConfig:
     dof_focal_radius: float = 1.0 / 16.0
     #: kill rays whose throughput falls below this (rayshading.comp:240)
     min_throughput: float = 1e-4
+    #: Russian-roulette start bounce (0 = OFF = reference parity: the
+    #: reference only has the deterministic min_throughput cutoff).
+    #: From this bounce index on, lanes survive with probability
+    #: q = clamp(max(throughput), rr_min_q, 1) and survivors reweight
+    #: by 1/q — UNBIASED adaptive termination (tested); killed lanes
+    #: sort last and emit no kernel pairs, so deep-bounce cost tracks
+    #: realized liveness.
+    rr_start_bounce: int = 0
+    #: survival-probability floor (bounds the 1/q firefly weight)
+    rr_min_q: float = 0.05
     #: fixed IOR used by the dielectric specular mix (rayshading.comp:168)
     ior: float = 1.4
     #: triangle-block size for chunked brute-force intersection

@@ -349,7 +349,7 @@ def test_primary_tile_order_matches():
     cfg = RenderConfig(width=32, height=24, spp=1, max_bounces=3,
                        intersector="pallas")
     cam_s = jnp.full((cfg.n_rays, 4), 0.5)
-    bounce_s = jnp.full((cfg.max_bounces, cfg.n_rays, 10), 0.37)
+    bounce_s = jnp.full((cfg.max_bounces, cfg.n_rays, 11), 0.37)
     ref = np.asarray(render_with_samples(scene, cam, cfg, cam_s,
                                          bounce_s))
     cfg2 = dataclasses.replace(cfg, primary_tile_order=True)
@@ -428,7 +428,7 @@ def test_mxu_kernel_form_image_parity():
                        intersector="pallas", cull_impl="pallas2",
                        pairs_per_step=4)
     cam_s = jnp.full((cfg.n_rays, 4), 0.5)
-    bounce_s = jnp.full((cfg.max_bounces, cfg.n_rays, 10), 0.37)
+    bounce_s = jnp.full((cfg.max_bounces, cfg.n_rays, 11), 0.37)
     ref = np.asarray(render_with_samples(scene, cam, cfg, cam_s,
                                          bounce_s))
     cfg2 = dataclasses.replace(cfg, kernel_form="mxu")

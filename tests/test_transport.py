@@ -168,3 +168,44 @@ def test_coherent_bounce_sampling_unbiased():
     assert d < 0.05 * float(ind.mean()) + 0.01, (
         f"coherent sampling shifted the mean: {ind.mean():.4f} vs "
         f"{coh.mean():.4f}")
+
+
+def test_russian_roulette_unbiased():
+    """cfg.rr_start_bounce: stochastic termination with 1/q reweighting
+    must leave per-pixel expectations unchanged (unbiased), while
+    killing a measurable fraction of deep-bounce lanes."""
+    import dataclasses
+
+    from prismarine_core_tpu.models.scene import make_cornell_scene
+    from prismarine_core_tpu.ops.sampling import make_sample_arrays
+    from prismarine_core_tpu.render.integrator import render_with_samples
+
+    scene = make_cornell_scene()
+    cfg = RenderConfig(width=16, height=16, spp=1, max_bounces=4,
+                       intersector="bvh")
+    rr = dataclasses.replace(cfg, rr_start_bounce=2)
+    cam = Camera.look_at(eye=(0.0, 0.0, 3.4), target=(0.0, 0.0, 0.0),
+                         fov_y_deg=50.0)
+
+    def avg(c, n=24):
+        acc = stats_acc = None
+        for s in range(n):
+            cam_s, bounce_s = make_sample_arrays(jax.random.key(s),
+                                                 c.n_rays, c.max_bounces)
+            img, stats = render_with_samples(scene, cam, c, cam_s,
+                                             bounce_s, with_stats=True)
+            acc = img if acc is None else acc + img
+            stats = np.asarray(stats)
+            stats_acc = stats if stats_acc is None else stats_acc + stats
+        return np.asarray(acc) / n, stats_acc / n
+
+    ref, ref_stats = avg(cfg)
+    img, rr_stats = avg(rr)
+    assert np.isfinite(img).all()
+    d = abs(float(ref.mean()) - float(img.mean()))
+    assert d < 0.05 * float(ref.mean()) + 0.01, (
+        f"RR shifted the mean: {ref.mean():.4f} vs {img.mean():.4f}")
+    # deep bounces must actually lose lanes: entering-lane count at the
+    # last bounce drops under RR (column 0 = lanes entering the bounce)
+    assert rr_stats[-1, 0] < 0.9 * ref_stats[-1, 0], (
+        f"RR killed no lanes: {rr_stats[-1, 0]} vs {ref_stats[-1, 0]}")
